@@ -1,0 +1,227 @@
+"""Fast3R top-level model: N images -> per-view global+local pointmaps + confidence.
+
+Behavioral reference: fast3r/models/fast3r.py:45-497 (class Fast3R).
+Composition: CroCoEncoder -> Fast3RDecoder (global fusion) -> two DPT heads
+("global" head predicting pts3d in view-0's frame, "local" head predicting
+pts3d in each view's own camera frame), each wrapped in the
+transpose-to-landscape orientation logic (dust3r/utils/misc.py:61-110).
+
+Output contract per view (README.md:129-131):
+  pts3d_in_other_view (B, H, W, 3)   global-frame pointmap
+  conf                (B, H, W)      in [1, inf)
+  pts3d_local         (B, H, W, 3)   own-camera-frame pointmap
+  conf_local          (B, H, W)
+
+TPU design: the whole forward is ONE jitted function over static shapes
+(B, V, H, W).  The reference's chunking knobs (encoder chunk 400 images,
+head chunk 25 views — fast3r.py:250-300) exist to bound GPU memory; here they
+map to optional lax.map chunking for very large V and to sharding decisions in
+fast3r_tpu/parallel.  Mixed portrait/landscape batches run the head in both
+orientations and select per sample (static `mixed_orientation` flag — the
+all-landscape fast path skips the second head pass entirely).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from fast3r_tpu.models.decoder import (
+    DecoderConfig,
+    decoder_forward,
+    init_decoder,
+    sample_random_image_ids,
+)
+from fast3r_tpu.models.dpt_head import (
+    DPTHeadConfig,
+    dpt_head_forward,
+    init_dpt_head,
+)
+from fast3r_tpu.models.encoder import EncoderConfig, encoder_forward, init_encoder
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class Fast3RConfig:
+    encoder: EncoderConfig = EncoderConfig()
+    decoder: DecoderConfig = DecoderConfig()
+    head: DPTHeadConfig = DPTHeadConfig()
+    with_local_head: bool = True
+    landscape_only: bool = True  # head orientation handling (misc.py:61-110)
+
+    @staticmethod
+    def flagship() -> "Fast3RConfig":
+        """ViT-L/16 encoder + 1024x24 fusion decoder + dual DPT heads
+        (configs/experiment/super_long_training/super_long_training.yaml)."""
+        enc = EncoderConfig(embed_dim=1024, num_heads=16, depth=24)
+        dec = DecoderConfig(enc_embed_dim=1024, embed_dim=1024, num_heads=16,
+                            depth=24)
+        head = DPTHeadConfig(dim_tokens=(enc.embed_dim, dec.embed_dim,
+                                         dec.embed_dim, dec.embed_dim))
+        return Fast3RConfig(encoder=enc, decoder=dec, head=head)
+
+    @staticmethod
+    def base() -> "Fast3RConfig":
+        """Default config (configs/model/fast3r.yaml): ViT-L encoder, 768x12
+        decoder, single global head."""
+        enc = EncoderConfig(embed_dim=1024, num_heads=16, depth=24)
+        dec = DecoderConfig(enc_embed_dim=1024, embed_dim=768, num_heads=12,
+                            depth=12)
+        head = DPTHeadConfig(dim_tokens=(enc.embed_dim, dec.embed_dim,
+                                         dec.embed_dim, dec.embed_dim))
+        return Fast3RConfig(encoder=enc, decoder=dec, head=head,
+                            with_local_head=False)
+
+    @staticmethod
+    def tiny(with_local_head: bool = True) -> "Fast3RConfig":
+        """Small config for tests (depth must be >9 in the reference factory,
+        fast3r.py:137; we relax to 4 with hooks scaled accordingly)."""
+        enc = EncoderConfig(img_size=64, embed_dim=64, num_heads=2, depth=2)
+        dec = DecoderConfig(enc_embed_dim=64, embed_dim=64, num_heads=2, depth=4)
+        head = DPTHeadConfig(dim_tokens=(64, 64, 64, 64), feature_dim=32,
+                             last_dim=16, layer_dims=(8, 16, 24, 32))
+        return Fast3RConfig(encoder=enc, decoder=dec, head=head,
+                            with_local_head=with_local_head)
+
+
+def init_fast3r(key, cfg: Fast3RConfig, dtype=jnp.float32) -> Params:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    params = {
+        "encoder": init_encoder(k1, cfg.encoder, dtype),
+        "decoder": init_decoder(k2, cfg.decoder, dtype),
+        "head_global": init_dpt_head(k3, cfg.head, dtype),
+    }
+    if cfg.with_local_head:
+        params["head_local"] = init_dpt_head(k4, cfg.head, dtype)
+    return params
+
+
+def _run_head_oriented(head_params, head_cfg, hook_tokens, H, W,
+                       is_portrait=None, mixed_orientation=False):
+    """transpose_to_landscape equivalent (misc.py:61-110).
+
+    hook_tokens: list of (N, P, C).  All-landscape: run at (H, W).  Mixed: also
+    run at (W, H) with transposed output, select per sample by `is_portrait`.
+    """
+    res_l = dpt_head_forward(head_params, head_cfg, hook_tokens, (H, W))
+    if not mixed_orientation:
+        return res_l
+    res_p = dpt_head_forward(head_params, head_cfg, hook_tokens, (W, H))
+    res_p = {k: jnp.swapaxes(v, 1, 2) for k, v in res_p.items()}
+    out = {}
+    for k in res_l:
+        sel = is_portrait.reshape((-1,) + (1,) * (res_l[k].ndim - 1))
+        out[k] = jnp.where(sel, res_p[k], res_l[k])
+    return out
+
+
+def fast3r_forward(
+    params: Params,
+    cfg: Fast3RConfig,
+    imgs: jnp.ndarray,
+    true_shapes: Optional[jnp.ndarray] = None,
+    is_training: bool = False,
+    rng: Optional[jax.Array] = None,
+    mixed_orientation: bool = False,
+    remat: bool = False,
+    head_chunk_views: Optional[int] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Full Fast3R forward pass (reference fast3r.py:302-497).
+
+    Args:
+      imgs: (B, V, H, W, 3) normalized images, landscape storage layout.
+      true_shapes: (B, V, 2) int (h, w); defaults to storage shape.
+      is_training: enables random image-index ids (requires `rng`) and the
+        training attention scale.
+      mixed_orientation: static flag — set True iff the batch contains
+        portrait samples (host knows this before dispatch).
+      head_chunk_views: if set, run the DPT heads lax.map-chunked over groups
+        of this many views (B*chunk leading dim per step) to bound memory for
+        very large V (reference max_parallel_views_for_head=25, fast3r.py:68).
+
+    Returns:
+      dict of stacked per-view outputs:
+        pts3d_in_other_view (B, V, H, W, 3), conf (B, V, H, W),
+        [pts3d_local, conf_local if with_local_head].
+    """
+    B, V, H, W, _ = imgs.shape
+    if true_shapes is None:
+        true_shapes = jnp.broadcast_to(
+            jnp.array([H, W], jnp.int32)[None, None], (B, V, 2)
+        )
+
+    # ---- encoder over all B*V images (fast3r.py:250-296) ----
+    flat_imgs = imgs.reshape(B * V, H, W, 3)
+    flat_shapes = true_shapes.reshape(B * V, 2)
+    feats, _pos = encoder_forward(params["encoder"], cfg.encoder, flat_imgs,
+                                  flat_shapes, remat=remat)
+    P = feats.shape[1]
+    fused = feats.reshape(B, V * P, -1)
+
+    # ---- image ids (fast3r.py:330-348, 715-766) ----
+    if is_training and cfg.decoder.random_image_idx_embedding:
+        assert rng is not None, "training forward needs an rng for image ids"
+        view_ids = sample_random_image_ids(rng, B, V)  # (B, V)
+    else:
+        view_ids = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32)[None], (B, V))
+    image_ids = jnp.repeat(view_ids, P, axis=1)  # (B, V*P)
+
+    # ---- fusion decoder (fast3r.py:768-808) ----
+    dec_out = decoder_forward(params["decoder"], cfg.decoder, fused, image_ids,
+                              is_training=is_training, remat=remat)
+
+    # ---- heads (fast3r.py:365-485) ----
+    hooks = cfg.decoder.hooks
+    # (B, V*P, C) -> (B*V, P, C)
+    hook_tokens = [
+        dec_out[h].reshape(B, V, P, -1).reshape(B * V, P, -1) for h in hooks
+    ]
+    is_portrait = (flat_shapes[:, 1] < flat_shapes[:, 0]) if mixed_orientation else None
+
+    def run_heads(tokens, portrait_mask):
+        res = {}
+        g = _run_head_oriented(params["head_global"], cfg.head, tokens, H, W,
+                               portrait_mask, mixed_orientation)
+        res["pts3d_in_other_view"] = g["pts3d"]
+        if "conf" in g:
+            res["conf"] = g["conf"]
+        if cfg.with_local_head:
+            l = _run_head_oriented(params["head_local"], cfg.head, tokens, H, W,
+                                   portrait_mask, mixed_orientation)
+            res["pts3d_local"] = l["pts3d"]
+            if "conf" in l:
+                res["conf_local"] = l["conf"]
+        return res
+
+    if head_chunk_views is not None and V % head_chunk_views == 0 and V > head_chunk_views:
+        nchunks = V // head_chunk_views
+        # regroup to (nchunks, B*chunk, P, C)
+        chunked = [
+            t.reshape(B, V, P, -1)
+             .reshape(B, nchunks, head_chunk_views, P, -1)
+             .swapaxes(0, 1)
+             .reshape(nchunks, B * head_chunk_views, P, -1)
+            for t in hook_tokens
+        ]
+        pmask = (
+            is_portrait.reshape(B, nchunks, head_chunk_views)
+            .swapaxes(0, 1).reshape(nchunks, -1)
+            if is_portrait is not None else jnp.zeros((nchunks, 1), bool)
+        )
+        res = jax.lax.map(lambda args: run_heads(list(args[0]), args[1] if mixed_orientation else None),
+                          (tuple(chunked), pmask))
+        # (nchunks, B*chunk, ...) -> (B, V, ...)
+        res = {
+            k: v.reshape((nchunks, B, head_chunk_views) + v.shape[2:])
+                 .swapaxes(0, 1)
+                 .reshape((B, V) + v.shape[2:])
+            for k, v in res.items()
+        }
+        return res
+
+    res = run_heads(hook_tokens, is_portrait)
+    return {k: v.reshape((B, V) + v.shape[1:]) for k, v in res.items()}

@@ -1,0 +1,60 @@
+"""Multi-head attention compute op with selectable backend.
+
+Behavioral reference: fast3r/croco/models/blocks.py:109-194 (class Attention).
+The reference selects between an explicit QK^T-softmax ("pytorch_naive") and
+torch SDPA flash/efficient backends; numerics in fp32 are identical across
+backends up to reduction order.
+
+Backends here:
+  * "naive":  explicit einsum + softmax.  Bit-matches the fp32 torch fallback
+              (used for golden parity tests).
+  * "xla":    jax.nn.dot_product_attention — XLA's fused attention; on TPU this
+              lowers to an MXU-tiled flash-style loop chosen by the compiler.
+  * "pallas": hand-written Pallas TPU flash-attention kernel (ops/flash_attention.py),
+              used for the long-sequence fusion decoder.
+
+Layout: (B, N, H, D) throughout ("BNHD"), which avoids transposes around the
+qkv projections and matches jax.nn.dot_product_attention.
+
+Dtype policy: softmax statistics are always accumulated in fp32 (better than the
+reference's bf16 softmax; on TPU the MXU accumulates in fp32 anyway).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    """Scaled dot-product attention.
+
+    Args:
+      q, k, v: (B, N, H, D).
+      scale: softmax scale (head_dim**-0.5, or the entropy-scaled inference bias
+        of blocks.py:118-124).
+      impl: "naive" | "xla" | "pallas".
+
+    Returns:
+      (B, N, H, D) in q.dtype.
+    """
+    if impl == "naive":
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        )
+        logits = logits * jnp.float32(scale)
+        w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", w, v)
+    if impl == "xla":
+        return jax.nn.dot_product_attention(q, k, v, scale=scale)
+    if impl == "pallas":
+        from fast3r_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+    raise ValueError(f"unknown attention impl {impl!r}")

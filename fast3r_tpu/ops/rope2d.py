@@ -1,0 +1,86 @@
+"""2D rotary position embedding (RoPE2D) for ViT attention.
+
+Behavioral reference: the pure-PyTorch fallback in
+fast3r/croco/models/pos_embed.py:131-183 (class RoPE2D).  The published Fast3R
+weights were trained with this fallback — the reference README explicitly forbids
+the CUDA `curope` extension (README.md:42) because its numerics differ.  We match
+the fallback:
+
+  * tokens (B, H, N, D) are split along D into a y-half and an x-half;
+  * each half is rotated with standard 1D RoPE using that token's y / x patch
+    coordinate;
+  * inv_freq = 1 / base**(arange(0, half, 2) / half) with base=100.0 by default
+    (``pos_embed="RoPE100"``), where half = D // 2;
+  * cos/sin are computed in float32 (the reference applies RoPE under an fp32
+    autocast, blocks.py:146-149).
+
+On TPU this is a pure elementwise op that XLA fuses into the surrounding
+attention; no custom kernel needed (the rotation feeds straight into the qk
+matmul).  A precomputed-table variant is provided so the trig runs once per
+unique position grid instead of once per layer.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def rope2d_cos_sin(positions: jnp.ndarray, head_dim: int, base: float = 100.0):
+    """Precompute cos/sin for RoPE2D.
+
+    Args:
+      positions: (B, N, 2) integer patch coordinates, [:, :, 0]=y, [:, :, 1]=x.
+      head_dim: attention head dimension D (must be divisible by 4).
+      base: frequency base (100.0 for "RoPE100").
+
+    Returns:
+      cos, sin: (B, N, 2, half) float32 arrays where half = head_dim // 2 and
+      axis 2 indexes the (y, x) coordinate halves.
+    """
+    assert head_dim % 4 == 0, f"head_dim={head_dim} must be divisible by 4"
+    half = head_dim // 2
+    # inv_freq has half//2 entries; reference tiles it to `half` via cat(freqs, freqs)
+    inv_freq = 1.0 / (
+        base ** (jnp.arange(0, half, 2, dtype=jnp.float32) / float(half))
+    )  # (half//2,)
+    # (B, N, 2, half//2)
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq
+    freqs = jnp.concatenate([freqs, freqs], axis=-1)  # (B, N, 2, half)
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rope2d(
+    tokens: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+) -> jnp.ndarray:
+    """Apply RoPE2D to attention q or k.
+
+    Args:
+      tokens: (B, num_heads, N, D).
+      cos, sin: (B, N, 2, D//2) from :func:`rope2d_cos_sin`.
+
+    Returns:
+      rotated tokens, same shape/dtype as input (rotation done in fp32).
+    """
+    dtype = tokens.dtype
+    t = tokens.astype(jnp.float32)
+    y, x = jnp.split(t, 2, axis=-1)  # each (B, H, N, half)
+    cy = cos[:, None, :, 0, :]  # (B, 1, N, half)
+    sy = sin[:, None, :, 0, :]
+    cx = cos[:, None, :, 1, :]
+    sx = sin[:, None, :, 1, :]
+    y = y * cy + _rotate_half(y) * sy
+    x = x * cx + _rotate_half(x) * sx
+    return jnp.concatenate([y, x], axis=-1).astype(dtype)
+
+
+def apply_rope2d_positions(
+    tokens: jnp.ndarray, positions: jnp.ndarray, base: float = 100.0
+) -> jnp.ndarray:
+    """Convenience wrapper: compute cos/sin from positions and apply."""
+    cos, sin = rope2d_cos_sin(positions, tokens.shape[-1], base)
+    return apply_rope2d(tokens, cos, sin)

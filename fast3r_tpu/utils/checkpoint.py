@@ -1,0 +1,222 @@
+"""Torch <-> JAX parameter conversion for Fast3R checkpoints.
+
+The published Fast3R weights (HF hub "jedyang97/Fast3R_ViT_Large_512") are a
+torch state_dict of the reference fast3r/models/fast3r.py:45 module tree:
+``encoder.* decoder.* downstream_head.* downstream_head_local.*``.  This module
+maps those tensors into the fast3r_tpu param pytree (and back, which the golden
+parity tests use to load identical weights into both implementations).
+
+Layout conversions:
+  Linear  torch (out, in)            -> jax (in, out)          transpose
+  Conv2d  torch OIHW (out,in,kh,kw)  -> jax HWIO (kh,kw,in,out) (2,3,1,0)
+  ConvT2d torch (in,out,kh,kw)       -> jax (kh,kw,in,out)      (2,3,0,1)
+  LayerNorm weight/bias              -> scale/bias
+
+Also handles the Lightning checkpoint convention (keys prefixed ``net.``,
+reference multiview_dust3r_module.py:1010-1017).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+def _block_entries(prefix: str, path: Tuple) -> List[Tuple[str, Tuple, str]]:
+    """Per-layer ViT block tensors (reference blocks.py:109-239)."""
+    return [
+        (f"{prefix}norm1", path + ("norm1",), "ln"),
+        (f"{prefix}attn.qkv", path + ("attn", "qkv"), "linear"),
+        (f"{prefix}attn.proj", path + ("attn", "proj"), "linear"),
+        (f"{prefix}norm2", path + ("norm2",), "ln"),
+        (f"{prefix}mlp.fc1", path + ("mlp", "fc1"), "linear"),
+        (f"{prefix}mlp.fc2", path + ("mlp", "fc2"), "linear"),
+    ]
+
+
+def _head_entries(tkey: str, jkey: str) -> List[Tuple[str, Tuple, str]]:
+    """DPT head tensors (reference dpt_block.py / dpt_head.py)."""
+    p = f"{tkey}.dpt."
+    out: List[Tuple[str, Tuple, str]] = [
+        (p + "act_postprocess.0.0", (jkey, "act1", "proj"), "conv"),
+        (p + "act_postprocess.0.1", (jkey, "act1", "up"), "convT"),
+        (p + "act_postprocess.1.0", (jkey, "act2", "proj"), "conv"),
+        (p + "act_postprocess.1.1", (jkey, "act2", "up"), "convT"),
+        (p + "act_postprocess.2.0", (jkey, "act3", "proj"), "conv"),
+        (p + "act_postprocess.3.0", (jkey, "act4", "proj"), "conv"),
+        (p + "act_postprocess.3.1", (jkey, "act4", "down"), "conv"),
+    ]
+    for i in range(4):
+        out.append((p + f"scratch.layer{i + 1}_rn", (jkey, "layer_rn", i), "conv_nobias"))
+        rp = p + f"scratch.refinenet{i + 1}."
+        out += [
+            (rp + "resConfUnit1.conv1", (jkey, "refinenet", i, "rcu1", "conv1"), "conv"),
+            (rp + "resConfUnit1.conv2", (jkey, "refinenet", i, "rcu1", "conv2"), "conv"),
+            (rp + "resConfUnit2.conv1", (jkey, "refinenet", i, "rcu2", "conv1"), "conv"),
+            (rp + "resConfUnit2.conv2", (jkey, "refinenet", i, "rcu2", "conv2"), "conv"),
+            (rp + "out_conv", (jkey, "refinenet", i, "out_conv"), "conv"),
+        ]
+    out += [
+        (p + "head.0", (jkey, "head", "conv1"), "conv"),
+        (p + "head.2", (jkey, "head", "conv2"), "conv"),
+        (p + "head.4", (jkey, "head", "conv3"), "conv"),
+    ]
+    return out
+
+
+def fast3r_key_map(enc_depth: int, dec_depth: int, with_local_head: bool
+                   ) -> List[Tuple[str, Tuple, str]]:
+    """All (torch_prefix, jax_path, kind) entries for a Fast3R checkpoint.
+
+    Stacked block layers use jax_path ("encoder","blocks",i,...) — the
+    converter stacks/unstacks the layer axis.
+    """
+    entries: List[Tuple[str, Tuple, str]] = [
+        ("encoder.patch_embed.proj", ("encoder", "patch_embed"), "conv"),
+        ("encoder.enc_norm", ("encoder", "norm"), "ln"),
+        ("decoder.decoder_embed", ("decoder", "decoder_embed"), "linear"),
+        ("decoder.dec_norm", ("decoder", "norm"), "ln"),
+    ]
+    for i in range(enc_depth):
+        entries += _block_entries(f"encoder.enc_blocks.{i}.",
+                                  ("encoder", "blocks", i))
+    for i in range(dec_depth):
+        entries += _block_entries(f"decoder.dec_blocks.{i}.",
+                                  ("decoder", "blocks", i))
+    entries += _head_entries("downstream_head", "head_global")
+    if with_local_head:
+        entries += _head_entries("downstream_head_local", "head_local")
+    return entries
+
+
+def _to_jax_tensors(kind: str, w: np.ndarray, b: Optional[np.ndarray]) -> Params:
+    if kind == "linear":
+        p = {"w": np.ascontiguousarray(w.T)}
+    elif kind in ("conv", "conv_nobias"):
+        p = {"w": np.ascontiguousarray(w.transpose(2, 3, 1, 0))}
+    elif kind == "convT":
+        p = {"w": np.ascontiguousarray(w.transpose(2, 3, 0, 1))}
+    elif kind == "ln":
+        p = {"scale": w}
+    else:
+        raise ValueError(kind)
+    if b is not None:
+        p["bias" if kind == "ln" else "b"] = b
+    return p
+
+
+def _from_jax_tensors(kind: str, p: Params) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    if kind == "linear":
+        w = np.asarray(p["w"]).T
+    elif kind in ("conv", "conv_nobias"):
+        w = np.asarray(p["w"]).transpose(3, 2, 0, 1)
+    elif kind == "convT":
+        w = np.asarray(p["w"]).transpose(2, 3, 0, 1)
+    elif kind == "ln":
+        return np.asarray(p["scale"]), np.asarray(p.get("bias"))
+    else:
+        raise ValueError(kind)
+    b = p.get("b")
+    return w, (np.asarray(b) if b is not None else None)
+
+
+def _set_path(tree: Params, path: Tuple, value) -> None:
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+def _get_path(tree: Params, path: Tuple):
+    node = tree
+    for k in path:
+        node = node[k]
+    return node
+
+
+def torch_state_dict_to_params(
+    state_dict: Dict[str, np.ndarray],
+    enc_depth: int,
+    dec_depth: int,
+    with_local_head: bool,
+    strip_net_prefix: bool = True,
+) -> Params:
+    """Convert a reference torch state_dict into the fast3r_tpu param pytree.
+
+    Accepts torch tensors or numpy arrays as values; returns numpy arrays
+    (caller moves them to device / shards them).
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        if strip_net_prefix and k.startswith("net."):
+            k = k[len("net."):]
+        sd[k] = np.asarray(getattr(v, "numpy", lambda: v)()
+                           if hasattr(v, "numpy") else v)
+
+    tree: Params = {}
+    for prefix, path, kind in fast3r_key_map(enc_depth, dec_depth, with_local_head):
+        wkey, bkey = prefix + ".weight", prefix + ".bias"
+        if wkey not in sd:
+            raise KeyError(f"missing checkpoint tensor {wkey}")
+        p = _to_jax_tensors(kind, sd[wkey], sd.get(bkey))
+        _set_path(tree, path, p)
+
+    # stack per-layer block params onto the leading layer axis
+    for name, depth in (("encoder", enc_depth), ("decoder", dec_depth)):
+        layers = tree[name]["blocks"]
+        stacked = {}
+        first = layers[0]
+
+        def stack(path):
+            def get(d, pth):
+                for k in pth:
+                    d = d[k]
+                return d
+            return np.stack([get(layers[i], path) for i in range(depth)])
+
+        def walk(node, path):
+            out = {}
+            for k, v in node.items():
+                if isinstance(v, dict):
+                    out[k] = walk(v, path + (k,))
+                else:
+                    out[k] = stack(path + (k,))
+            return out
+
+        tree[name]["blocks"] = walk(first, ())
+    return _intdicts_to_lists(tree)
+
+
+def _intdicts_to_lists(node):
+    """Normalize {0: a, 1: b, ...} dicts into lists to match init_* pytrees."""
+    if isinstance(node, dict):
+        node = {k: _intdicts_to_lists(v) for k, v in node.items()}
+        if node and all(isinstance(k, int) for k in node):
+            return [node[i] for i in range(len(node))]
+    return node
+
+
+def params_to_torch_state_dict(
+    params: Params, enc_depth: int, dec_depth: int, with_local_head: bool
+) -> Dict[str, np.ndarray]:
+    """Reverse conversion (used by the golden tests and for checkpoint export)."""
+    sd: Dict[str, np.ndarray] = {}
+    for prefix, path, kind in fast3r_key_map(enc_depth, dec_depth, with_local_head):
+        if len(path) >= 3 and path[1] == "blocks":
+            layer = path[2]
+            node = _get_path(params, (path[0], "blocks") + path[3:])
+            node = {k: np.asarray(v)[layer] for k, v in _flatten1(node).items()}
+        else:
+            node = {k: np.asarray(v) for k, v in _flatten1(_get_path(params, path)).items()}
+        w, b = _from_jax_tensors(kind, node)
+        sd[prefix + ".weight"] = w
+        if b is not None:
+            sd[prefix + ".bias"] = b
+    return sd
+
+
+def _flatten1(node: Params) -> Params:
+    return dict(node)
