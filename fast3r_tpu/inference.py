@@ -1,0 +1,283 @@
+"""Public inference API: Fast3R model wrapper + `inference(views, model, ...)`.
+
+Behavioral reference: fast3r/dust3r/inference_multiview.py:22-99 (inference /
+loss_of_one_batch) and the README public API (README.md:75-131):
+
+    model = Fast3R.from_pretrained(ckpt_dir_or_hf_repo)
+    images = load_images(filelist, size=512)
+    output = inference(images, model, dtype, profiling=...)
+    # output = {"views": [...], "preds": [{pts3d_in_other_view, conf,
+    #            pts3d_local, conf_local}, ...]} (+ profiling dict)
+
+TPU design: every distinct shape composition compiles one XLA program
+(cached).  Same-shape views run the fully batched path; mixed shapes follow
+the reference's bs=1 behavior (inference_multiview.py:80-82) with per-group
+encoders feeding one fused decoder sequence.  `profiling=True` returns the
+reference's profiling_info keys (encode_images_time, decoder_time,
+head_forward_time, total_time) measured with block_until_ready barriers
+(SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fast3r_tpu.models.decoder import DecoderConfig, decoder_forward
+from fast3r_tpu.models.dpt_head import DPTHeadConfig, dpt_head_forward
+from fast3r_tpu.models.encoder import EncoderConfig, encoder_forward
+from fast3r_tpu.models.fast3r import Fast3RConfig, fast3r_forward, init_fast3r
+from fast3r_tpu.utils.checkpoint import torch_state_dict_to_params
+
+
+def config_from_reference_args(
+    encoder_args: Dict, decoder_args: Dict, head_args: Dict,
+    attn_impl: str = "xla",
+) -> Fast3RConfig:
+    """Build a Fast3RConfig from the reference's *_args dicts (the HF
+    checkpoint config.json format, fast3r/models/fast3r.py:50-70)."""
+    enc = EncoderConfig(
+        img_size=encoder_args.get("img_size", 512),
+        patch_size=encoder_args.get("patch_size", 16),
+        patch_embed_cls=encoder_args.get("patch_embed_cls", "ManyAR_PatchEmbed"),
+        embed_dim=encoder_args.get("embed_dim", 1024),
+        num_heads=encoder_args.get("num_heads", 16),
+        depth=encoder_args.get("depth", 24),
+        mlp_ratio=encoder_args.get("mlp_ratio", 4),
+        rope_base=float(str(encoder_args.get("pos_embed", "RoPE100"))[len("RoPE"):]),
+        attn_impl=attn_impl,
+    )
+    dec = DecoderConfig(
+        enc_embed_dim=decoder_args.get("enc_embed_dim", enc.embed_dim),
+        embed_dim=decoder_args.get("embed_dim", 768),
+        num_heads=decoder_args.get("num_heads", 12),
+        depth=decoder_args.get("depth", 12),
+        mlp_ratio=decoder_args.get("mlp_ratio", 4.0),
+        qkv_bias=decoder_args.get("qkv_bias", True),
+        random_image_idx_embedding=decoder_args.get(
+            "random_image_idx_embedding", True
+        ),
+        attn_bias_for_inference_enabled=decoder_args.get(
+            "attn_bias_for_inference_enabled", True
+        ),
+        attn_impl=attn_impl,
+    )
+    head = DPTHeadConfig(
+        patch_size=head_args.get("patch_size", 16),
+        num_channels=3 + bool(head_args.get("conf_mode", ("exp", 1, float("inf")))),
+        dim_tokens=(enc.embed_dim, dec.embed_dim, dec.embed_dim, dec.embed_dim),
+        depth_mode=tuple(head_args.get("depth_mode", ("exp", -float("inf"), float("inf")))),
+        conf_mode=tuple(head_args.get("conf_mode", ("exp", 1, float("inf")))),
+    )
+    return Fast3RConfig(
+        encoder=enc, decoder=dec, head=head,
+        with_local_head=head_args.get("with_local_head", False),
+        landscape_only=head_args.get("landscape_only", True),
+    )
+
+
+class Fast3R:
+    """Parameter + config container with the reference's loading entry points."""
+
+    def __init__(self, cfg: Fast3RConfig, params, dtype=jnp.float32):
+        self.cfg = cfg
+        self.params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+        self.dtype = dtype
+        self._jit_cache: Dict[Tuple, Any] = {}
+
+    # ---- loading -----------------------------------------------------------
+    @classmethod
+    def from_random(cls, cfg: Optional[Fast3RConfig] = None, seed: int = 0,
+                    dtype=jnp.float32) -> "Fast3R":
+        cfg = cfg or Fast3RConfig.flagship()
+        return cls(cfg, init_fast3r(jax.random.key(seed), cfg, jnp.float32),
+                   dtype)
+
+    @classmethod
+    def from_pretrained(cls, pretrained_model_name_or_path: str,
+                        dtype=jnp.float32, attn_impl: str = "xla") -> "Fast3R":
+        """Load an HF-format Fast3R checkpoint (config.json + weights).
+
+        Accepts a local directory (config.json + model.safetensors /
+        pytorch_model.bin) or an HF hub repo id (downloaded via
+        huggingface_hub when network access exists).
+        """
+        path = pretrained_model_name_or_path
+        if not os.path.isdir(path):
+            from huggingface_hub import snapshot_download
+
+            path = snapshot_download(repo_id=path)
+        with open(os.path.join(path, "config.json")) as f:
+            hf_cfg = json.load(f)
+        cfg = config_from_reference_args(
+            hf_cfg["encoder_args"], hf_cfg["decoder_args"], hf_cfg["head_args"],
+            attn_impl=attn_impl,
+        )
+        sd = _load_state_dict_file(path)
+        params = torch_state_dict_to_params(
+            sd, cfg.encoder.depth, cfg.decoder.depth, cfg.with_local_head,
+        )
+        return cls(cfg, params, dtype)
+
+    # ---- forward -----------------------------------------------------------
+    def __call__(self, views: Sequence[Dict], profiling: bool = False):
+        return forward_views(self, views, profiling=profiling)
+
+
+def _load_state_dict_file(path: str) -> Dict[str, np.ndarray]:
+    st = os.path.join(path, "model.safetensors")
+    if os.path.exists(st):
+        from safetensors.numpy import load_file
+
+        return load_file(st)
+    for name in ("pytorch_model.bin", "model.pt", "model.pth"):
+        p = os.path.join(path, name)
+        if os.path.exists(p):
+            import torch
+
+            sd = torch.load(p, map_location="cpu", weights_only=True)
+            if "state_dict" in sd:
+                sd = sd["state_dict"]
+            return {k: v.float().numpy() for k, v in sd.items()}
+    raise FileNotFoundError(f"no weights file found under {path}")
+
+
+# ---------------------------------------------------------------------------
+# the variable-shape fused forward
+# ---------------------------------------------------------------------------
+
+def _views_to_arrays(views: Sequence[Dict]) -> Tuple[List[np.ndarray], List[Tuple[int, int]]]:
+    """Extract (1, H, W, 3) channel-last arrays + true (h, w) per view."""
+    imgs, shapes = [], []
+    for v in views:
+        img = np.asarray(v["img"], dtype=np.float32)
+        if img.ndim == 4 and img.shape[1] == 3 and img.shape[-1] != 3:
+            img = img.transpose(0, 2, 3, 1)  # accept torch NCHW layout
+        assert img.ndim == 4 and img.shape[0] == 1 and img.shape[-1] == 3, img.shape
+        imgs.append(img)
+        ts = np.asarray(v.get("true_shape", [[img.shape[1], img.shape[2]]]))
+        shapes.append((int(ts.reshape(-1)[0]), int(ts.reshape(-1)[1])))
+    return imgs, shapes
+
+
+def _build_varshape_forward(model: Fast3R, shape_sig: Tuple[Tuple[int, int], ...]):
+    """Compile a forward for one shape composition (B=1 per view).
+
+    Inference uses plain patch embedding at each view's own AR and heads at
+    each view's own (H, W) — the reference's inference configuration
+    (patch_embed_cls=PatchEmbedDust3R, landscape_only=False,
+    utils/checkpoint_utils.py:36-38).
+    """
+    cfg = model.cfg
+    ps = cfg.encoder.patch_size
+    patch_counts = [(h // ps) * (w // ps) for (h, w) in shape_sig]
+    offsets = np.cumsum([0] + patch_counts)
+    inference_enc_cfg = EncoderConfig(
+        **{**cfg.encoder.__dict__, "patch_embed_cls": "PatchEmbedDust3R"}
+    )
+
+    unique_shapes = sorted(set(shape_sig))
+    groups = {
+        s: [i for i, sh in enumerate(shape_sig) if sh == s] for s in unique_shapes
+    }
+
+    def fn(params, *imgs):
+        V = len(imgs)
+        # encode per shape group (batched within a group)
+        feats_per_view: List[Optional[jnp.ndarray]] = [None] * V
+        for s, idxs in groups.items():
+            batch = jnp.concatenate([imgs[i] for i in idxs], axis=0)
+            feats, _ = encoder_forward(params["encoder"], inference_enc_cfg, batch)
+            for j, i in enumerate(idxs):
+                feats_per_view[i] = feats[j:j + 1]
+        fused = jnp.concatenate(feats_per_view, axis=1)  # (1, S, D)
+
+        image_ids = jnp.concatenate([
+            jnp.full((patch_counts[i],), i, jnp.int32) for i in range(V)
+        ])[None]
+        dec_out = decoder_forward(params["decoder"], cfg.decoder, fused,
+                                  image_ids, is_training=False)
+
+        hooks = cfg.decoder.hooks
+        results = []
+        for i, (h, w) in enumerate(shape_sig):
+            tokens = [
+                dec_out[k][:, offsets[i]:offsets[i + 1]] for k in hooks
+            ]
+            g = dpt_head_forward(params["head_global"], cfg.head, tokens, (h, w))
+            res = {"pts3d_in_other_view": g["pts3d"]}
+            if "conf" in g:
+                res["conf"] = g["conf"]
+            if cfg.with_local_head:
+                l = dpt_head_forward(params["head_local"], cfg.head, tokens, (h, w))
+                res["pts3d_local"] = l["pts3d"]
+                if "conf" in l:
+                    res["conf_local"] = l["conf"]
+            results.append(res)
+        return results
+
+    return jax.jit(fn)
+
+
+def forward_views(model: Fast3R, views: Sequence[Dict], profiling: bool = False):
+    """Run the model on reference-style view dicts -> list of per-view preds."""
+    imgs_np, shapes = _views_to_arrays(views)
+    shape_sig = tuple(shapes)
+
+    t0 = time.perf_counter()
+    if shape_sig not in model._jit_cache:
+        model._jit_cache[shape_sig] = _build_varshape_forward(model, shape_sig)
+    fn = model._jit_cache[shape_sig]
+    imgs = [jnp.asarray(x, model.dtype) for x in imgs_np]
+    preds = fn(model.params, *imgs)
+    preds = jax.block_until_ready(preds)
+    total = time.perf_counter() - t0
+
+    preds = [
+        {k: np.asarray(v, np.float32) for k, v in p.items()} for p in preds
+    ]
+    if profiling:
+        info = {
+            "encode_images_time": float("nan"),  # fused in one XLA program
+            "pos_emb_time": float("nan"),
+            "decoder_time": float("nan"),
+            "head_forward_time": float("nan"),
+            "total_time": total,
+        }
+        return preds, info
+    return preds
+
+
+def inference(multiple_views_in_one_sample: Sequence[Dict], model: Fast3R,
+              device=None, dtype=None, verbose: bool = True,
+              profiling: bool = False):
+    """Reference-compatible entry (inference_multiview.py:71-99).
+
+    `device` is accepted for API compatibility and ignored (JAX manages
+    placement); `dtype` overrides the model compute dtype for this call.
+    """
+    if verbose:
+        print(f">> Inference with model on {len(multiple_views_in_one_sample)} images")
+    if dtype is not None:
+        model = Fast3R(model.cfg, model.params, dtype)
+
+    out = forward_views(model, multiple_views_in_one_sample, profiling=profiling)
+    if profiling:
+        preds, info = out
+    else:
+        preds, info = out, None
+
+    result = {
+        "views": list(multiple_views_in_one_sample),
+        "preds": preds,
+        "loss": None,
+    }
+    if profiling:
+        return result, info
+    return result

@@ -54,12 +54,13 @@ class Fast3RConfig:
     landscape_only: bool = True  # head orientation handling (misc.py:61-110)
 
     @staticmethod
-    def flagship() -> "Fast3RConfig":
+    def flagship(attn_impl: str = "pallas") -> "Fast3RConfig":
         """ViT-L/16 encoder + 1024x24 fusion decoder + dual DPT heads
         (configs/experiment/super_long_training/super_long_training.yaml)."""
-        enc = EncoderConfig(embed_dim=1024, num_heads=16, depth=24)
+        enc = EncoderConfig(embed_dim=1024, num_heads=16, depth=24,
+                            attn_impl=attn_impl)
         dec = DecoderConfig(enc_embed_dim=1024, embed_dim=1024, num_heads=16,
-                            depth=24)
+                            depth=24, attn_impl=attn_impl)
         head = DPTHeadConfig(dim_tokens=(enc.embed_dim, dec.embed_dim,
                                          dec.embed_dim, dec.embed_dim))
         return Fast3RConfig(encoder=enc, decoder=dec, head=head)

@@ -1,0 +1,319 @@
+"""Pallas TPU flash attention — the hot kernel of the Fast3R fusion decoder.
+
+The reference scales its all-view global attention with torch SDPA flash
+kernels (croco/models/blocks.py:171-190).  On TPU, XLA's generic attention
+materializes the full (H, S, S) logits (14 GB at 20 views x 768 patches), so
+this kernel implements the online-softmax streaming algorithm directly:
+
+  forward: for each q block, loop kv blocks; keep running row-max m, row-sum l
+           and the output accumulator in VMEM scratch; one pass over K/V.
+  backward: two kernels — dq (loop over kv) and dk/dv (loop over q) — using
+           the saved logsumexp, the standard flash backward recurrence.
+
+Workload characteristics this is tuned for (vs a generic kernel):
+  * no masks, no causality (bidirectional all-view attention), no dropout
+    (flagship attn_drop=0) — so no masking overhead in the inner loop;
+  * head_dim 64, seq len S = V * patches (768..1.5M), batch 1-2000;
+  * softmax scale is a runtime-constant float (supports the inference
+    entropy-bias scale, blocks.py:118-124).
+
+Grid layout: (B, H, q_blocks, kv_blocks) with the kv axis innermost — TPU
+grids execute sequentially on a core, so VMEM scratch persists across the kv
+loop and the output block is written once at the final kv step.
+
+All matmuls accumulate in fp32 on the MXU (preferred_element_type); inputs may
+be bf16.  Falls back to the naive einsum path for shapes the kernel does not
+tile (S not a multiple of 128).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+# Forward block sizes tuned on TPU v5e at S=15360, D=64 (see commit history):
+# (512,512) -> 11.5 TFLOP/s (grid overhead dominates), (1024,1024) -> 57.7,
+# larger blocks exceed VMEM.  Backward keeps more live buffers per program, so
+# it uses smaller blocks.
+MAX_BLOCK_Q = 1024
+MAX_BLOCK_KV = 1024
+MAX_BLOCK_Q_BWD = 512
+MAX_BLOCK_KV_BWD = 512
+
+
+def _interpret() -> bool:
+    """Run the kernels in interpreter mode off-TPU (tests on CPU)."""
+    return jax.default_backend() != "tpu"
+
+
+def _pick_block(s: int, max_block: int) -> int:
+    """Largest multiple of 128 that divides s and is <= max_block (0 if none)."""
+    best = 0
+    b = 128
+    while b <= max_block:
+        if s % b == 0:
+            best = b
+        b += 128
+    return best
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                *, scale: float, kv_steps: int):
+    kv = pl.program_id(3)
+
+    @pl.when(kv == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0]  # (bq, D)
+    k = k_ref[0, 0]  # (bk, D)
+    v = v_ref[0, 0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (bq, bk) fp32
+
+    m_prev = m_scr[:, :1]                      # (bq, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)            # (bq, 1)
+    p = jnp.exp(s - m_new)                     # (bq, bk) fp32
+
+    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+    acc_scr[:] = acc
+
+    @pl.when(kv == kv_steps - 1)
+    def _finish():
+        l = l_scr[:, :1]
+        o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        lse_ref[0, 0] = m_scr[:, :1] + jnp.log(l)
+
+
+def _flash_forward(q, k, v, scale, bq, bk) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    B, H, S, D = q.shape
+    Skv = k.shape[2]
+    grid = (B, H, S // bq, Skv // bk)
+
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, kv_steps=Skv // bk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h, ki, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, S, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, D), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(q, k, v)
+    return o, lse
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   dq_scr, *, scale: float, kv_steps: int):
+    kv = pl.program_id(3)
+
+    @pl.when(kv == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0]      # (bq, 1)
+    delta = delta_ref[0, 0]  # (bq, 1)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = jnp.exp(s - lse)  # (bq, bk)
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, bk)
+    ds = p * (dp - delta) * scale
+
+    dq_scr[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kv == kv_steps - 1)
+    def _finish():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr,
+                    *, scale: float, q_steps: int):
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0]
+    delta = delta_ref[0, 0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = jnp.exp(s - lse)  # (bq, bk)
+
+    # dv += p^T @ do
+    dv_scr[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta) * scale  # (bq, bk)
+    # dk += ds^T @ q
+    dk_scr[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qi == q_steps - 1)
+    def _finish():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, o, lse, do, scale, bq, bk):
+    B, H, S, D = q.shape
+    Skv = k.shape[2]
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1,
+                    keepdims=True)  # (B, H, S, 1)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, kv_steps=Skv // bk),
+        grid=(B, H, S // bq, Skv // bk),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+        interpret=_interpret(),
+    )(q, k, v, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, q_steps=S // bq),
+        grid=(B, H, Skv // bk, S // bq),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, ki, qi: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, ki, qi: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, ki, qi: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, ki, qi: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, ki, qi: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, ki, qi: (b, h, qi, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, ki, qi: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, ki, qi: (b, h, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Skv, D), k.dtype),
+            jax.ShapeDtypeStruct((B, H, Skv, D), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, D), jnp.float32),
+            pltpu.VMEM((bk, D), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# public op (B, N, H, D) with custom vjp
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_bhsd(q, k, v, scale):
+    bq = _pick_block(q.shape[2], MAX_BLOCK_Q)
+    bk = _pick_block(k.shape[2], MAX_BLOCK_KV)
+    o, _ = _flash_forward(q, k, v, scale, bq, bk)
+    return o
+
+
+def _flash_bhsd_fwd(q, k, v, scale):
+    bq = _pick_block(q.shape[2], MAX_BLOCK_Q)
+    bk = _pick_block(k.shape[2], MAX_BLOCK_KV)
+    o, lse = _flash_forward(q, k, v, scale, bq, bk)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_bhsd_bwd(scale, res, do):
+    q, k, v, o, lse = res
+    bq = _pick_block(q.shape[2], MAX_BLOCK_Q_BWD)
+    bk = _pick_block(k.shape[2], MAX_BLOCK_KV_BWD)
+    return _flash_backward(q, k, v, o, lse, do, scale, bq, bk)
+
+
+_flash_bhsd.defvjp(_flash_bhsd_fwd, _flash_bhsd_bwd)
+
+
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    scale: float) -> jnp.ndarray:
+    """Flash attention over (B, N, H, D) inputs (fast3r_tpu layout).
+
+    Falls back to the naive path when N is not a multiple of 128 (tiny tests).
+    """
+    S, Skv = q.shape[1], k.shape[1]
+    if _pick_block(S, MAX_BLOCK_Q) == 0 or _pick_block(Skv, MAX_BLOCK_KV) == 0:
+        from fast3r_tpu.ops.attention import dot_product_attention
+
+        return dot_product_attention(q, k, v, scale, impl="naive")
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    o = _flash_bhsd(qt, kt, vt, float(scale))
+    return jnp.swapaxes(o, 1, 2)

@@ -1,0 +1,199 @@
+"""Training losses: multiview confidence-weighted 3D regression.
+
+Behavioral reference: fast3r/dust3r/losses.py —
+  * L21Loss (losses.py:69-76): per-pixel Euclidean distance;
+  * Regr3DMultiviewV4 (losses.py:570-742): GT points of every view transformed
+    into the anchor (view-0) camera frame, predictions supervised there
+    ("global" branch); the "local" branch transforms GT into each view's own
+    frame and supervises pts3d_local.  Joint normalization: all views'
+    valid points concatenated, per-sample mean distance ('avg_dis'), pred and
+    GT normalized independently; the local branch is normalized per view
+    unless local_scale_consistent;
+  * ConfLossMultiviewV2 (losses.py:789-848): per-pixel
+    ``conf * loss - alpha * log(conf)``, masked mean per (view, branch),
+    summed and divided by the number of branch terms.  Flagship alpha=0.2.
+
+JAX formulation: boolean indexing (``pts[mask]``) becomes masked reductions —
+``sum(x * mask) / sum(mask)`` — which is numerically identical to the
+reference's ``x[mask].mean()`` and keeps every shape static for XLA.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+
+from fast3r_tpu.ops.geometry import geotrf, se3_inverse
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    alpha: float = 0.2             # conf-loss regularizer (flagship config)
+    norm_mode: str = "avg_dis"
+    gt_scale: bool = False
+    local_scale_consistent: bool = False
+    with_local: bool = True
+
+
+def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray, axis=None) -> jnp.ndarray:
+    m = mask.astype(x.dtype)
+    s = jnp.sum(x * m, axis=axis)
+    n = jnp.sum(m, axis=axis)
+    return jnp.where(n > 0, s / jnp.maximum(n, 1.0), 0.0)
+
+
+def _apply_dis_mode(dis: jnp.ndarray, dis_mode: str) -> jnp.ndarray:
+    if dis_mode == "dis":
+        return dis
+    if dis_mode == "log1p":
+        return jnp.log1p(dis)
+    raise ValueError(f"unsupported dis mode {dis_mode!r}")
+
+
+def _joint_norm_factor(pts: jnp.ndarray, valid: jnp.ndarray, norm_mode: str
+                       ) -> jnp.ndarray:
+    """Per-sample normalization factor over all views jointly
+    (reference losses.py:615-661 normalize_pointcloud_from_views).
+
+    pts: (B, V, H, W, 3); valid: (B, V, H, W).  Returns (B,).
+    """
+    mode, dis_mode = norm_mode.split("_")
+    dis = jnp.linalg.norm(pts, axis=-1)
+    dis = _apply_dis_mode(dis, dis_mode)
+    B = pts.shape[0]
+    dis = dis.reshape(B, -1)
+    v = valid.reshape(B, -1)
+    if mode == "avg":
+        nf = _masked_mean(dis, v, axis=-1)
+    else:
+        raise ValueError(f"unsupported norm mode {mode!r}")
+    return jnp.maximum(nf, 1e-8)
+
+
+def _perview_norm_factor(pts: jnp.ndarray, valid: jnp.ndarray, norm_mode: str
+                         ) -> jnp.ndarray:
+    """Per-(sample, view) factor (reference losses.py:666-703
+    normalize_pointcloud_per_view).  Returns (B, V)."""
+    mode, dis_mode = norm_mode.split("_")
+    dis = jnp.linalg.norm(pts, axis=-1)
+    dis = _apply_dis_mode(dis, dis_mode)
+    B, V = pts.shape[:2]
+    dis = dis.reshape(B, V, -1)
+    v = valid.reshape(B, V, -1)
+    if mode == "avg":
+        nf = _masked_mean(dis, v, axis=-1)
+    else:
+        raise ValueError(f"unsupported norm mode {mode!r}")
+    return jnp.maximum(nf, 1e-8)
+
+
+def regr3d_multiview_v4(
+    gts: Dict[str, jnp.ndarray],
+    preds: Dict[str, jnp.ndarray],
+    cfg: LossConfig = LossConfig(),
+) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+    """Per-pixel regression distances for the global (+local) branches.
+
+    Args:
+      gts: pts3d (B,V,H,W,3) world frame, valid_mask (B,V,H,W) bool,
+           camera_pose (B,V,4,4) cam2world.
+      preds: pts3d_in_other_view (B,V,H,W,3) [+ pts3d_local].
+
+    Returns:
+      (pixel_losses, details):
+        pixel_losses: {"global": (B,V,H,W), ["local": ...]} L21 distances
+        (valid-masked mean is taken by the conf loss), plus "valid_mask".
+    """
+    gt_pts = gts["pts3d"].astype(jnp.float32)
+    valid = gts["valid_mask"]
+    poses = gts["camera_pose"].astype(jnp.float32)
+    B, V = gt_pts.shape[:2]
+
+    out: Dict[str, jnp.ndarray] = {}
+    details: Dict[str, jnp.ndarray] = {}
+
+    # ---- global branch: everything in view-0's camera frame ----
+    inv_anchor = se3_inverse(poses[:, 0])  # (B,4,4)
+    gt_flat = gt_pts.reshape(B, -1, 3)
+    gt_global = geotrf(inv_anchor, gt_flat).reshape(gt_pts.shape)
+    pr_global = preds["pts3d_in_other_view"].astype(jnp.float32)
+
+    nf_pr = _joint_norm_factor(pr_global, valid, cfg.norm_mode)  # (B,)
+    pr_g = pr_global / nf_pr[:, None, None, None, None]
+    if not cfg.gt_scale:
+        nf_gt = _joint_norm_factor(gt_global, valid, cfg.norm_mode)
+        gt_g = gt_global / nf_gt[:, None, None, None, None]
+    else:
+        gt_g = gt_global
+
+    out["global"] = jnp.linalg.norm(pr_g - gt_g, axis=-1)  # (B,V,H,W)
+    details["global_per_view"] = _masked_mean(
+        out["global"], valid, axis=(0, 2, 3)
+    )  # (V,)
+
+    # ---- local branch: each view in its own camera frame ----
+    if cfg.with_local and "pts3d_local" in preds:
+        inv_local = se3_inverse(poses.reshape(B * V, 4, 4))
+        gt_local = geotrf(
+            inv_local, gt_pts.reshape(B * V, -1, 3)
+        ).reshape(gt_pts.shape)
+        pr_local = preds["pts3d_local"].astype(jnp.float32)
+
+        if not cfg.local_scale_consistent:
+            nf_prl = _perview_norm_factor(pr_local, valid, cfg.norm_mode)
+            pr_l = pr_local / nf_prl[:, :, None, None, None]
+            if not cfg.gt_scale:
+                nf_gtl = _perview_norm_factor(gt_local, valid, cfg.norm_mode)
+                gt_l = gt_local / nf_gtl[:, :, None, None, None]
+            else:
+                gt_l = gt_local
+        else:
+            pr_l = pr_local / nf_pr[:, None, None, None, None]
+            gt_l = gt_local / (nf_gt[:, None, None, None, None]
+                               if not cfg.gt_scale else 1.0)
+
+        out["local"] = jnp.linalg.norm(pr_l - gt_l, axis=-1)
+        details["local_per_view"] = _masked_mean(out["local"], valid, axis=(0, 2, 3))
+
+    out["valid_mask"] = valid
+    return out, details
+
+
+def conf_loss_multiview_v2(
+    gts: Dict[str, jnp.ndarray],
+    preds: Dict[str, jnp.ndarray],
+    cfg: LossConfig = LossConfig(),
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """The training objective (reference losses.py:789-848).
+
+    Returns (scalar loss, details dict of per-(view,branch) conf losses).
+    """
+    pixel, details = regr3d_multiview_v4(gts, preds, cfg)
+    valid = pixel["valid_mask"]
+    V = valid.shape[1]
+
+    terms = []
+    branch_confs = [("global", "conf")]
+    if "local" in pixel:
+        branch_confs.append(("local", "conf_local"))
+
+    for branch, conf_key in branch_confs:
+        loss = pixel[branch]  # (B,V,H,W)
+        conf = preds[conf_key].astype(jnp.float32)
+        log_conf = jnp.log(conf)
+        conf_loss_px = loss * conf - cfg.alpha * log_conf
+        # reference: per-view masked mean over (B,H,W) jointly (the mask
+        # flattens batch and pixels together, losses.py:819-827)
+        per_view = _masked_mean(
+            jnp.moveaxis(conf_loss_px, 1, 0).reshape(V, -1),
+            jnp.moveaxis(valid, 1, 0).reshape(V, -1),
+            axis=-1,
+        )  # (V,)
+        details[f"conf_loss_{branch}"] = per_view
+        terms.append(per_view)
+
+    total = jnp.concatenate(terms)
+    loss = jnp.sum(total) / total.shape[0]
+    return loss, details

@@ -1,0 +1,147 @@
+"""The pjit training step: forward + loss + AdamW, sharded over the mesh.
+
+Replaces the reference's Lightning harness (multiview_dust3r_module.py:67-1035
+training_step/configure_optimizers + DDP/DeepSpeed strategies) with one jitted
+SPMD program: batch sharded over the "data" mesh axis (gradient all-reduce is
+implicit in pjit), params optionally tensor-sharded over "model"
+(fast3r_tpu/parallel/mesh.py), optimizer-state shardings inferred by XLA from
+the param shardings (the ZeRO analog comes from sharded params/moments, not a
+separate runtime).
+
+Optimizer parity (configs/model/fast3r.yaml:26-46): AdamW lr 1e-4,
+betas (0.9, 0.95), weight_decay 0.05, linear-warmup + cosine anneal to
+eta_min=1e-6, schedule expressed in steps (the reference converts its
+epoch-based scheduler to steps at runtime, multiview_dust3r_module.py:940-986).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fast3r_tpu.models.fast3r import Fast3RConfig, fast3r_forward
+from fast3r_tpu.train.losses import LossConfig, conf_loss_multiview_v2
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    lr: float = 1e-4
+    betas: Tuple[float, float] = (0.9, 0.95)
+    weight_decay: float = 0.05
+    warmup_steps: int = 1000
+    total_steps: int = 100_000
+    eta_min: float = 1e-6
+    grad_clip: Optional[float] = None
+
+
+def make_schedule(cfg: OptimConfig):
+    """pl_bolts LinearWarmupCosineAnnealingLR equivalent: linear 0 -> lr over
+    warmup, cosine lr -> eta_min over the rest."""
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=cfg.lr,
+        warmup_steps=cfg.warmup_steps,
+        decay_steps=cfg.total_steps,
+        end_value=cfg.eta_min,
+    )
+
+
+def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    tx = optax.adamw(
+        learning_rate=make_schedule(cfg),
+        b1=cfg.betas[0],
+        b2=cfg.betas[1],
+        weight_decay=cfg.weight_decay,
+    )
+    if cfg.grad_clip is not None:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    return tx
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Params
+    opt_state: Any
+    step: jnp.ndarray
+    rng: jax.Array
+
+
+def init_train_state(params: Params, optim_cfg: OptimConfig, rng: jax.Array
+                     ) -> TrainState:
+    tx = make_optimizer(optim_cfg)
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+        rng=rng,
+    )
+
+
+def train_step(
+    state: TrainState,
+    batch: Dict[str, jnp.ndarray],
+    model_cfg: Fast3RConfig,
+    optim_cfg: OptimConfig,
+    loss_cfg: LossConfig = LossConfig(),
+    remat: bool = True,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One optimization step.
+
+    batch: imgs (B,V,H,W,3), true_shapes (B,V,2), pts3d (B,V,H,W,3),
+           valid_mask (B,V,H,W), camera_pose (B,V,4,4).
+    """
+    tx = make_optimizer(optim_cfg)
+    rng, step_rng = jax.random.split(state.rng)
+    # fold in the step so resume-from-checkpoint is deterministic
+    step_rng = jax.random.fold_in(step_rng, state.step)
+
+    def loss_fn(params):
+        preds = fast3r_forward(
+            params, model_cfg, batch["imgs"], batch["true_shapes"],
+            is_training=True, rng=step_rng, remat=remat,
+        )
+        gts = {
+            "pts3d": batch["pts3d"],
+            "valid_mask": batch["valid_mask"],
+            "camera_pose": batch["camera_pose"],
+        }
+        loss, details = conf_loss_multiview_v2(gts, preds, loss_cfg)
+        return loss, details
+
+    (loss, details), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params
+    )
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+
+    metrics = {
+        "loss": loss,
+        "lr": make_schedule(optim_cfg)(state.step),
+        "grad_norm": optax.global_norm(grads),
+        **{k: v for k, v in details.items()},
+    }
+    new_state = TrainState(
+        params=new_params,
+        opt_state=new_opt_state,
+        step=state.step + 1,
+        rng=rng,
+    )
+    return new_state, metrics
+
+
+def make_jitted_train_step(model_cfg: Fast3RConfig, optim_cfg: OptimConfig,
+                           loss_cfg: LossConfig = LossConfig(),
+                           remat: bool = True):
+    """jit wrapper with donated state (in-place buffer reuse on TPU)."""
+
+    def fn(state, batch):
+        return train_step(state, batch, model_cfg, optim_cfg, loss_cfg, remat)
+
+    return jax.jit(fn, donate_argnums=(0,))

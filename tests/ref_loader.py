@@ -52,8 +52,38 @@ def install_ref_stubs() -> None:
 
     _stub("omegaconf", DictConfig=DictConfig, OmegaConf=OmegaConf,
           open_dict=_Passthrough)
-    tvt = _stub("torchvision.transforms", ToTensor=_Passthrough,
-                Normalize=_Passthrough, Compose=_Passthrough,
+
+    # functional ToTensor/Normalize/Compose so reference load_images works
+    import numpy as _np
+    import torch as _torch
+
+    class ToTensor:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, pic):
+            arr = _np.asarray(pic, dtype=_np.float32) / 255.0
+            return _torch.from_numpy(arr.transpose(2, 0, 1).copy())
+
+    class Normalize:
+        def __init__(self, mean, std, *a, **k):
+            self.mean = _torch.tensor(mean).view(-1, 1, 1)
+            self.std = _torch.tensor(std).view(-1, 1, 1)
+
+        def __call__(self, t):
+            return (t - self.mean) / self.std
+
+    class Compose:
+        def __init__(self, fns):
+            self.fns = fns
+
+        def __call__(self, x):
+            for f in self.fns:
+                x = f(x)
+            return x
+
+    tvt = _stub("torchvision.transforms", ToTensor=ToTensor,
+                Normalize=Normalize, Compose=Compose,
                 ColorJitter=_Passthrough, ToPILImage=_Passthrough,
                 Resize=_Passthrough, CenterCrop=_Passthrough)
     _stub("torchvision", transforms=tvt)

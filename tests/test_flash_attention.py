@@ -1,0 +1,90 @@
+"""Flash-attention kernel correctness vs naive attention (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fast3r_tpu.ops.attention import dot_product_attention
+
+
+def _naive(q, k, v, scale):
+    return dot_product_attention(q, k, v, scale, impl="naive")
+
+
+def _flash_interpret(q, k, v, scale):
+    """Run the pallas kernels in interpreter mode (no TPU needed)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from fast3r_tpu.ops import flash_attention as fa
+
+    with pltpu.force_tpu_interpret_mode():
+        return fa.flash_attention(q, k, v, scale)
+
+
+@pytest.mark.parametrize("B,S,H,D", [(2, 256, 2, 64), (1, 384, 4, 32)])
+def test_flash_forward_matches_naive(B, S, H, D):
+    rng = np.random.default_rng(0)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+        for _ in range(3)
+    )
+    scale = D ** -0.5
+    ref = _naive(q, k, v, scale)
+    out = _flash_interpret(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_backward_matches_naive():
+    rng = np.random.default_rng(1)
+    B, S, H, D = 1, 256, 2, 32
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+        for _ in range(3)
+    )
+    scale = D ** -0.5
+
+    def loss_naive(q, k, v):
+        return jnp.sum(jnp.sin(_naive(q, k, v, scale)))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.sin(_flash_interpret(q, k, v, scale)))
+
+    g_ref = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
+    g_out = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_out, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
+            err_msg=f"d{name}",
+        )
+
+
+def test_flash_small_seq_fallback():
+    """Sequences not tileable by 128 fall back to naive silently."""
+    rng = np.random.default_rng(2)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((2, 24, 2, 64)), jnp.float32)
+        for _ in range(3)
+    )
+    out = _flash_interpret(q, k, v, 0.125)
+    ref = _naive(q, k, v, 0.125)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_flash_entropy_scale():
+    """The inference entropy-bias scale flows through the kernel."""
+    import math
+
+    rng = np.random.default_rng(3)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((1, 128, 2, 64)), jnp.float32)
+        for _ in range(3)
+    )
+    scale = 64 ** -0.5 * math.sqrt(math.log(137) / math.log(20))
+    out = _flash_interpret(q, k, v, scale)
+    ref = _naive(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
