@@ -1,0 +1,130 @@
+"""Camera pose estimation from predicted pointmaps.
+
+Behavioral reference: MultiViewDUSt3RLitModule.estimate_camera_poses
+(multiview_dust3r_module.py:807-869): per sample — estimate the focal from the
+first view's global-head pointmap (Weiszfeld, conf-percentile 10), then
+RANSAC-PnP per view using the conf > 1.0 mask; failures return identity.
+
+Backends: "cv2" (host, SQPNP — reference parity) and "jax" (on-device,
+fully jitted batch PnP — no host round trip).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fast3r_tpu.ops.geometry import xy_grid
+from fast3r_tpu.ops.pnp import (
+    estimate_focal_weiszfeld,
+    fast_pnp_cv2,
+    pnp_ransac_jax,
+)
+
+
+def estimate_camera_poses(
+    preds: Sequence[Dict],
+    niter_PnP: int = 10,
+    focal_length_estimation_method: str = "first_view_from_global_head",
+    backend: str = "cv2",
+    seed: int = 0,
+) -> Tuple[List[List[np.ndarray]], List[List[Optional[float]]]]:
+    """Estimate per-view c2w poses + focals.
+
+    Args:
+      preds: list over views of dicts with "pts3d_in_other_view" (B, H, W, 3)
+        and "conf" (B, H, W) (numpy or jax arrays).
+
+    Returns:
+      (poses_c2w [B][V] 4x4 arrays, focals [B][V]).
+    """
+    V = len(preds)
+    B = np.asarray(preds[0]["pts3d_in_other_view"]).shape[0]
+
+    poses_all, focals_all = [], []
+    for b in range(B):
+        sample = [
+            {
+                "pts3d": np.asarray(v["pts3d_in_other_view"][b], np.float32),
+                "conf": np.asarray(v["conf"][b], np.float32),
+            }
+            for v in preds
+        ]
+        # focal from the first view's global head (module.py:823-849)
+        focal = None
+        if focal_length_estimation_method in (
+            "first_view_from_global_head", "first_view_from_local_head",
+        ):
+            focal = float(estimate_focal_weiszfeld(
+                jnp.asarray(sample[0]["pts3d"]),
+                jnp.asarray(sample[0]["conf"]),
+                min_conf_percentile=10.0,
+            ))
+        elif focal_length_estimation_method != "individual":
+            raise ValueError(focal_length_estimation_method)
+
+        poses, focals = [], []
+        if backend == "cv2":
+            for v in range(V):
+                mask = sample[v]["conf"] > 1.0  # module.py:1045
+                f, c2w = fast_pnp_cv2(sample[v]["pts3d"], focal, mask,
+                                      niter_PnP=niter_PnP)
+                if c2w is None:
+                    poses.append(np.eye(4))
+                    focals.append(focal)
+                else:
+                    poses.append(c2w)
+                    focals.append(f)
+        elif backend == "jax":
+            pts = jnp.asarray(np.stack([s["pts3d"] for s in sample]))
+            conf = jnp.asarray(np.stack([s["conf"] for s in sample]))
+            c2w, inl, f_used = estimate_poses_jax(
+                pts, conf, focal=focal, niter=max(niter_PnP, 32),
+                key=jax.random.key(seed),
+            )
+            poses = [np.asarray(c2w[v]) for v in range(V)]
+            focals = [float(f_used)] * V
+        else:
+            raise ValueError(backend)
+        poses_all.append(poses)
+        focals_all.append(focals)
+    return poses_all, focals_all
+
+
+def estimate_poses_jax(
+    pts3d: jnp.ndarray,
+    conf: jnp.ndarray,
+    focal: Optional[float] = None,
+    niter: int = 32,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fully on-device pose estimation for V views of one sample.
+
+    Args:
+      pts3d: (V, H, W, 3) global-frame pointmaps; conf: (V, H, W).
+
+    Returns:
+      (c2w (V, 4, 4), inlier_counts (V,), focal used).
+    """
+    V, H, W, _ = pts3d.shape
+    if key is None:
+        key = jax.random.key(0)
+    if focal is None:
+        focal = estimate_focal_weiszfeld(pts3d[0], conf[0],
+                                         min_conf_percentile=10.0)
+    focal = jnp.asarray(focal, pts3d.dtype)
+    pp = jnp.array([W / 2.0, H / 2.0], pts3d.dtype)
+    pixels = xy_grid(W, H, dtype=pts3d.dtype).reshape(-1, 2)
+
+    def per_view(args):
+        p, c, k = args
+        mask = c.reshape(-1) > 1.0
+        return pnp_ransac_jax(p.reshape(-1, 3), pixels, mask, focal, pp, k,
+                              iters=niter)
+
+    keys = jax.random.split(key, V)
+    c2w, inl = jax.lax.map(per_view, (pts3d, conf, keys))
+    return c2w, inl, focal
