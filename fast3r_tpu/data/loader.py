@@ -1,0 +1,155 @@
+"""Batch collation + multiprocess data loading.
+
+Replaces the reference's torch DataLoader + collate usage
+(dust3r/datasets/__init__.py:28-64, inference collate_with_cat in
+dust3r/utils/device.py) with a torch-free host pipeline: a process pool keyed
+by a per-worker dataset copy, bounded prefetch, and numpy collation straight
+into the (B, V, ...) stacked layout the jitted train step consumes.
+
+Determinism contract preserved: the sampler is epoch-seeded (epoch + 777) and
+seeded datasets draw per-item rngs (seed + idx), so worker scheduling cannot
+change the data (reference §5.6 / base_stereo_view_dataset.py:86-91).
+"""
+
+from __future__ import annotations
+
+import itertools
+from concurrent.futures import ProcessPoolExecutor
+from typing import Any, Dict, Iterable, List, Optional, Sequence
+
+import numpy as np
+
+_WORKER_DATASET = None
+
+STACK_KEYS = (
+    "img", "true_shape", "pts3d", "valid_mask", "camera_pose",
+    "camera_intrinsics", "depthmap",
+)
+BATCH_KEY_RENAME = {"img": "imgs", "true_shape": "true_shapes"}
+
+
+def collate_views(samples: Sequence[Sequence[Dict]]) -> Dict[str, Any]:
+    """Stack a list over batch of lists over views into (B, V, ...) arrays.
+
+    Non-array metadata (labels, instances, idx) is kept as nested lists.
+    """
+    B = len(samples)
+    V = len(samples[0])
+    assert all(len(s) == V for s in samples), "uneven view counts in batch"
+    out: Dict[str, Any] = {}
+    for key in samples[0][0]:
+        if key in STACK_KEYS:
+            arr = np.stack([
+                np.stack([np.asarray(s[v][key]) for v in range(V)])
+                for s in samples
+            ])
+            out[BATCH_KEY_RENAME.get(key, key)] = arr
+        else:
+            out[key] = [[s[v].get(key) for v in range(V)] for s in samples]
+    return out
+
+
+def _init_worker(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _load_batch(idxs: List):
+    return [_WORKER_DATASET[i] for i in idxs]
+
+
+class DataLoader:
+    """Minimal prefetching loader over a BatchedRandomSampler.
+
+    num_workers=0 loads inline (debugging); otherwise a process pool with
+    `prefetch` batches in flight.
+    """
+
+    def __init__(self, dataset, batch_size: int, sampler=None,
+                 num_workers: int = 0, collate_fn=collate_views,
+                 prefetch: int = 4, drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler
+        self.num_workers = num_workers
+        self.collate_fn = collate_fn
+        self.prefetch = max(prefetch, 1)
+        self.drop_last = drop_last
+        self._pool: Optional[ProcessPoolExecutor] = None
+
+    def __len__(self):
+        n = len(self.sampler) if self.sampler is not None else len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self) -> Iterable[List]:
+        it = iter(self.sampler) if self.sampler is not None else iter(
+            range(len(self.dataset)))
+        while True:
+            batch = list(itertools.islice(it, self.batch_size))
+            if not batch or (self.drop_last and len(batch) < self.batch_size):
+                return
+            yield batch
+
+    def __iter__(self):
+        if self.num_workers == 0:
+            for idxs in self._index_batches():
+                yield self.collate_fn([self.dataset[i] for i in idxs])
+            return
+
+        if self._pool is None:
+            import multiprocessing as mp
+
+            # spawn: fork is unsafe with JAX's threads in the parent (the
+            # reference hits the same issue and forces spawn under DeepSpeed,
+            # multiview_dust3r_datamodule.py:116)
+            self._pool = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=mp.get_context("spawn"),
+                initializer=_init_worker,
+                initargs=(self.dataset,),
+            )
+        batches = self._index_batches()
+        inflight = []
+        try:
+            for idxs in itertools.islice(batches, self.prefetch):
+                inflight.append(self._pool.submit(_load_batch, idxs))
+            for idxs in batches:
+                done = inflight.pop(0)
+                inflight.append(self._pool.submit(_load_batch, idxs))
+                yield self.collate_fn(done.result())
+            for fut in inflight:
+                yield self.collate_fn(fut.result())
+        finally:
+            pass  # keep the pool for the next epoch
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown()
+            self._pool = None
+
+
+def get_data_loader(
+    dataset,
+    batch_size: int,
+    num_workers: int = 4,
+    shuffle: bool = True,
+    drop_last: bool = True,
+    world_size: int = 1,
+    rank: int = 0,
+) -> DataLoader:
+    """Build a loader from a dataset object or DSL string
+    (reference dust3r/datasets/__init__.py:28-64)."""
+    if isinstance(dataset, str):
+        from fast3r_tpu.data.dsl import build_dataset
+
+        dataset = build_dataset(dataset)
+    sampler = None
+    if shuffle and hasattr(dataset, "make_sampler"):
+        sampler = dataset.make_sampler(
+            batch_size, shuffle=True, world_size=world_size, rank=rank,
+            drop_last=drop_last,
+        )
+    return DataLoader(dataset, batch_size, sampler=sampler,
+                      num_workers=num_workers, drop_last=drop_last)

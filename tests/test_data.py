@@ -1,0 +1,179 @@
+"""Data layer tests: base dataset, algebra, sampler, DSL, loader, end-to-end."""
+
+import numpy as np
+import pytest
+
+from fast3r_tpu.data.base import BatchedRandomSampler
+from fast3r_tpu.data.datasets import DummyMultiview
+from fast3r_tpu.data.dsl import build_dataset
+from fast3r_tpu.data.loader import DataLoader, collate_views, get_data_loader
+
+
+def _ds(**kw):
+    defaults = dict(num_scenes=20, num_views=3,
+                    resolution=[(64, 48), (64, 32)], seed=777)
+    defaults.update(kw)
+    return DummyMultiview(**defaults)
+
+
+def test_dataset_item_contract():
+    ds = _ds()
+    views = ds[(0, 0)]
+    assert len(views) == 3
+    for v in views:
+        assert v["img"].shape == (48, 64, 3)
+        assert v["img"].dtype == np.float32
+        assert -1.0 <= v["img"].min() and v["img"].max() <= 1.0
+        assert v["pts3d"].shape == (48, 64, 3)
+        assert v["valid_mask"].shape == (48, 64)
+        assert v["depthmap"].shape == (48, 64)
+        assert tuple(v["true_shape"]) == (48, 64)
+        assert v["camera_pose"].shape == (4, 4)
+    # second aspect ratio
+    views = ds[(0, 1)]
+    assert views[0]["img"].shape == (32, 64, 3)
+
+
+def test_seeded_determinism():
+    a = _ds()[(3, 0)]
+    b = _ds()[(3, 0)]
+    np.testing.assert_array_equal(a[0]["img"], b[0]["img"])
+    np.testing.assert_array_equal(a[1]["pts3d"], b[1]["pts3d"])
+    assert a[0]["rng"] == b[0]["rng"]
+
+
+def test_pts3d_consistency_with_pose():
+    """pts3d must equal pose @ backproject(depth, K)."""
+    views = _ds()[(0, 0)]
+    v = views[0]
+    H, W = v["depthmap"].shape
+    fx, fy = v["camera_intrinsics"][0, 0], v["camera_intrinsics"][1, 1]
+    cx, cy = v["camera_intrinsics"][0, 2], v["camera_intrinsics"][1, 2]
+    u, vv = np.meshgrid(np.arange(W), np.arange(H))
+    z = v["depthmap"]
+    cam = np.stack([z * (u - cx) / fx, z * (vv - cy) / fy, z], -1)
+    world = cam @ v["camera_pose"][:3, :3].T + v["camera_pose"][:3, 3]
+    np.testing.assert_allclose(
+        world[v["valid_mask"]], v["pts3d"][v["valid_mask"]], atol=1e-4
+    )
+
+
+def test_algebra_and_epoch_shuffle():
+    ds = _ds(num_scenes=10)
+    combo = 25 @ (2 * ds + ds)
+    assert len(2 * ds) == 20
+    assert len(ds + ds) == 20
+    assert len(combo) == 25
+    combo.set_epoch(0)
+    m0 = combo._idxs_mapping.copy()
+    combo.set_epoch(1)
+    m1 = combo._idxs_mapping.copy()
+    assert not np.array_equal(m0, m1)
+    combo.set_epoch(0)
+    np.testing.assert_array_equal(combo._idxs_mapping, m0)
+    # indexing works through the whole chain
+    views = combo[(5, 1)]
+    assert views[0]["img"].shape == (32, 64, 3)
+
+
+def test_batched_sampler_same_ar_per_batch_and_rank_slicing():
+    ds = _ds(num_scenes=32)
+    bs = 4
+    sampler = BatchedRandomSampler(ds, bs, pool_size=2, world_size=2, rank=0)
+    sampler.set_epoch(0)
+    idxs = list(sampler)
+    ars = [ar for _, ar in idxs]
+    for i in range(0, len(ars), bs):
+        assert len(set(ars[i:i + bs])) == 1  # same AR within batch
+    s2 = BatchedRandomSampler(ds, bs, pool_size=2, world_size=2, rank=1)
+    s2.set_epoch(0)
+    idxs2 = list(s2)
+    assert not set(i for i, _ in idxs) & set(i for i, _ in idxs2)  # disjoint
+    # deterministic per epoch
+    sampler.set_epoch(0)
+    assert list(sampler) == idxs
+
+
+def test_dsl_parser():
+    ds = build_dataset(
+        "40 @ DummyMultiview(num_scenes=10, num_views=2, "
+        "resolution=[(64, 48)], seed=777)"
+    )
+    assert len(ds) == 40
+    ds.set_epoch(0)
+    assert len(ds[(0, 0)]) == 2
+
+    combo = build_dataset(
+        "2 * DummyMultiview(num_scenes=5, num_views=2, resolution=(64, 48)) + "
+        "DummyMultiview(num_scenes=3, num_views=2, resolution=(64, 48))"
+    )
+    assert len(combo) == 13
+
+    with pytest.raises(KeyError):
+        build_dataset("Nonexistent(split='train')")
+    with pytest.raises(ValueError):
+        build_dataset("DummyMultiview(num_scenes=__import__('os').getpid())")
+
+
+def test_loader_end_to_end_collate():
+    loader = get_data_loader(
+        "12 @ DummyMultiview(num_scenes=6, num_views=3, "
+        "resolution=[(64, 48)], seed=777)",
+        batch_size=2, num_workers=0,
+    )
+    loader.dataset.set_epoch(0)
+    loader.sampler.set_epoch(0)
+    batches = list(loader)
+    assert len(batches) == 6
+    b = batches[0]
+    assert b["imgs"].shape == (2, 3, 48, 64, 3)
+    assert b["pts3d"].shape == (2, 3, 48, 64, 3)
+    assert b["valid_mask"].shape == (2, 3, 48, 64)
+    assert b["camera_pose"].shape == (2, 3, 4, 4)
+    assert b["true_shapes"].shape == (2, 3, 2)
+
+
+def test_loader_multiprocess_matches_inline():
+    ds_str = ("8 @ DummyMultiview(num_scenes=4, num_views=2, "
+              "resolution=[(64, 48)], seed=777)")
+    l0 = get_data_loader(ds_str, batch_size=2, num_workers=0)
+    l2 = get_data_loader(ds_str, batch_size=2, num_workers=2)
+    for l in (l0, l2):
+        l.dataset.set_epoch(0)
+        l.sampler.set_epoch(0)
+    b0 = list(l0)
+    b2 = list(l2)
+    l2.close()
+    assert len(b0) == len(b2)
+    for x, y in zip(b0, b2):
+        np.testing.assert_array_equal(x["imgs"], y["imgs"])
+        np.testing.assert_array_equal(x["pts3d"], y["pts3d"])
+
+
+def test_loader_feeds_train_step():
+    import jax
+    import jax.numpy as jnp
+
+    from fast3r_tpu.models.fast3r import Fast3RConfig, init_fast3r
+    from fast3r_tpu.train.step import (
+        OptimConfig, init_train_state, make_jitted_train_step,
+    )
+
+    loader = get_data_loader(
+        "4 @ DummyMultiview(num_scenes=4, num_views=2, "
+        "resolution=[(64, 48)], seed=777)",
+        batch_size=2, num_workers=0,
+    )
+    loader.dataset.set_epoch(0)
+    loader.sampler.set_epoch(0)
+
+    cfg = Fast3RConfig.tiny()
+    optim_cfg = OptimConfig(warmup_steps=2, total_steps=10)
+    state = init_train_state(init_fast3r(jax.random.key(0), cfg), optim_cfg,
+                             jax.random.key(1))
+    step = make_jitted_train_step(cfg, optim_cfg)
+    for batch in loader:
+        jb = {k: jnp.asarray(batch[k]) for k in
+              ("imgs", "true_shapes", "pts3d", "valid_mask", "camera_pose")}
+        state, metrics = step(state, jb)
+        assert np.isfinite(float(metrics["loss"]))
