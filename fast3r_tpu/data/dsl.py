@@ -70,5 +70,7 @@ def _literal(node: ast.AST) -> Any:
 
 def build_dataset(expr: str):
     """Parse a dataset DSL string into a dataset object."""
+    import fast3r_tpu.data.datasets  # noqa: F401 — populates the registry
+
     tree = ast.parse(expr.strip(), mode="eval")
     return _build(tree.body)

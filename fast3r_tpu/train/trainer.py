@@ -1,0 +1,249 @@
+"""Training harness: epoch loop, validation dispatch, checkpoint/resume, requeue.
+
+Replaces the reference's Lightning module + trainer
+(multiview_dust3r_module.py:67-1035, configs/trainer/*) with an explicit loop:
+
+  * per-epoch ``dataset.set_epoch`` + epoch-seeded sampler (reference
+    on_train_epoch_start, module.py:154-159);
+  * jitted SPMD train step (fast3r_tpu/train/step.py) over the device mesh;
+  * validation: loss on every val loader; pose evaluation (RRA/RTA/mAA) for
+    pose datasets; reconstruction metrics for recon datasets — the reference's
+    validation_step dispatch (module.py:290-301);
+  * Orbax checkpointing of {params, opt_state, step, rng} with save_last +
+    periodic epochs (callbacks/model_checkpoint.yaml), resume from last;
+  * SIGTERM/SIGUSR1 -> checkpoint-and-exit for cluster requeue (the Slurm
+    auto_requeue flow, configs/trainer/default.yaml:22-29);
+  * sample/image counters persisted in the checkpoint so resume keeps
+    counts (module.py:91-98).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import signal
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fast3r_tpu.models.fast3r import Fast3RConfig, fast3r_forward, init_fast3r
+from fast3r_tpu.train.losses import LossConfig, conf_loss_multiview_v2
+from fast3r_tpu.train.step import (
+    OptimConfig,
+    TrainState,
+    init_train_state,
+    make_jitted_train_step,
+)
+from fast3r_tpu.utils.logging import MetricLogger, RankedLogger
+
+log = RankedLogger(__name__)
+
+BATCH_KEYS = ("imgs", "true_shapes", "pts3d", "valid_mask", "camera_pose")
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    max_epochs: int = 10
+    val_every_n_epochs: int = 1
+    recon_val_every_n_epochs: int = 5   # reference: every 5th epoch (:290-301)
+    ckpt_every_n_epochs: int = 20       # model_checkpoint.yaml:3-20
+    run_dir: str = "runs/default"
+    log_every_n_steps: int = 10
+    seed: int = 42
+    remat: bool = True
+
+
+class Trainer:
+    def __init__(
+        self,
+        model_cfg: Fast3RConfig,
+        optim_cfg: OptimConfig,
+        loss_cfg: LossConfig = LossConfig(),
+        trainer_cfg: TrainerConfig = TrainerConfig(),
+        init_params=None,
+    ):
+        self.model_cfg = model_cfg
+        self.optim_cfg = optim_cfg
+        self.loss_cfg = loss_cfg
+        self.cfg = trainer_cfg
+        os.makedirs(self.cfg.run_dir, exist_ok=True)
+        self.metrics = MetricLogger(os.path.join(self.cfg.run_dir, "metrics.csv"))
+
+        params = init_params
+        if params is None:
+            params = init_fast3r(jax.random.key(self.cfg.seed), model_cfg)
+        self.state = init_train_state(
+            params, optim_cfg, jax.random.key(self.cfg.seed + 1)
+        )
+        self.step_fn = make_jitted_train_step(
+            model_cfg, optim_cfg, loss_cfg, remat=self.cfg.remat
+        )
+        self._eval_fns: Dict[Any, Any] = {}
+        self.epoch = 0
+        self.total_samples = 0
+        self.total_images = 0
+        self._stop_requested = False
+
+    # ---- signal-based requeue (reference SLURMEnvironment auto_requeue) ----
+    def install_signal_handlers(self):
+        def handler(signum, frame):
+            log.info(f"received signal {signum}: checkpointing for requeue")
+            self._stop_requested = True
+
+        for sig in (signal.SIGTERM, signal.SIGUSR1):
+            signal.signal(sig, handler)
+
+    # ---- checkpointing --------------------------------------------------
+    def _ckpt_dir(self, name: str) -> str:
+        return os.path.join(os.path.abspath(self.cfg.run_dir), "checkpoints", name)
+
+    def save_checkpoint(self, name: str = "last"):
+        from fast3r_tpu.utils.orbax_io import save_train_state
+
+        meta = {
+            "epoch": self.epoch,
+            "total_samples": self.total_samples,
+            "total_images": self.total_images,
+        }
+        save_train_state(self._ckpt_dir(name), self.state, meta)
+        log.info(f"saved checkpoint {name!r} at step {int(self.state.step)}")
+
+    def load_checkpoint(self, name: str = "last") -> bool:
+        from fast3r_tpu.utils.orbax_io import restore_train_state
+
+        path = self._ckpt_dir(name)
+        if not os.path.exists(path):
+            return False
+        self.state, meta = restore_train_state(path, self.state)
+        self.epoch = meta["epoch"]
+        self.total_samples = meta["total_samples"]
+        self.total_images = meta["total_images"]
+        log.info(f"resumed from {name!r}: epoch={self.epoch} "
+                 f"step={int(self.state.step)}")
+        return True
+
+    # ---- train ----------------------------------------------------------
+    def _device_batch(self, batch) -> Dict[str, jnp.ndarray]:
+        return {k: jnp.asarray(batch[k]) for k in BATCH_KEYS}
+
+    def fit(self, train_loader, val_loaders: Optional[Dict[str, Any]] = None,
+            resume: bool = True):
+        if resume:
+            self.load_checkpoint("last")
+        start_epoch = self.epoch
+        for epoch in range(start_epoch, self.cfg.max_epochs):
+            self.epoch = epoch
+            if hasattr(train_loader.dataset, "set_epoch"):
+                train_loader.dataset.set_epoch(epoch)
+            if train_loader.sampler is not None:
+                train_loader.sampler.set_epoch(epoch)
+
+            t_epoch = time.time()
+            for i, batch in enumerate(train_loader):
+                jb = self._device_batch(batch)
+                self.state, m = self.step_fn(self.state, jb)
+                B, V = batch["imgs"].shape[:2]
+                self.total_samples += B
+                self.total_images += B * V
+                if i % self.cfg.log_every_n_steps == 0:
+                    self.metrics.log(
+                        step=int(self.state.step), epoch=epoch,
+                        loss=float(m["loss"]), lr=float(m["lr"]),
+                        grad_norm=float(m["grad_norm"]),
+                        total_samples=self.total_samples,
+                        total_images=self.total_images,
+                    )
+                if self._stop_requested:
+                    self.save_checkpoint("last")
+                    log.info("stopping for requeue")
+                    return
+            log.info(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s "
+                     f"(step {int(self.state.step)})")
+
+            if val_loaders and (epoch + 1) % self.cfg.val_every_n_epochs == 0:
+                self.validate(val_loaders, epoch)
+
+            # persist the NEXT epoch to run so resume continues, not repeats
+            self.epoch = epoch + 1
+            self.save_checkpoint("last")
+            if (epoch + 1) % self.cfg.ckpt_every_n_epochs == 0:
+                self.save_checkpoint(f"epoch_{epoch:04d}")
+
+    # ---- validation ------------------------------------------------------
+    def _val_loss_fn(self):
+        if "val_loss" not in self._eval_fns:
+            def fn(params, batch, rng):
+                preds = fast3r_forward(
+                    params, self.model_cfg, batch["imgs"],
+                    batch["true_shapes"], is_training=False,
+                )
+                gts = {k: batch[k] for k in
+                       ("pts3d", "valid_mask", "camera_pose")}
+                loss, _ = conf_loss_multiview_v2(gts, preds, self.loss_cfg)
+                return loss, preds
+            self._eval_fns["val_loss"] = jax.jit(fn)
+        return self._eval_fns["val_loss"]
+
+    def validate(self, val_loaders: Dict[str, Any], epoch: int,
+                 eval_pose: Optional[Dict[str, bool]] = None,
+                 eval_recon: Optional[Dict[str, bool]] = None) -> Dict[str, float]:
+        """Per-dataset val loss + optional pose/recon metric suites
+        (reference validation_step dispatch, module.py:239-301)."""
+        from fast3r_tpu.eval.pose import estimate_camera_poses
+        from fast3r_tpu.eval.pose_metrics import pose_metrics
+        from fast3r_tpu.eval.recon import evaluate_reconstruction
+
+        results: Dict[str, float] = {}
+        fn = self._val_loss_fn()
+        for name, loader in val_loaders.items():
+            losses: List[float] = []
+            pose_ms, recon_ms = [], []
+            for batch in loader:
+                jb = self._device_batch(batch)
+                loss, preds = fn(self.state.params, jb,
+                                 jax.random.key(0))
+                losses.append(float(loss))
+                if eval_pose and eval_pose.get(name):
+                    preds_v = _split_preds_by_view(preds)
+                    poses, _ = estimate_camera_poses(preds_v)
+                    for b in range(len(poses)):
+                        gt = np.asarray(batch["camera_pose"][b])
+                        pose_ms.append(pose_metrics(np.stack(poses[b]), gt))
+                if eval_recon and eval_recon.get(name):
+                    views_v, preds_v = _split_batch_by_view(batch, preds)
+                    rs = evaluate_reconstruction(views_v, preds_v)
+                    recon_ms.extend([r for r in rs if r])
+            results[f"val/{name}/loss"] = float(np.mean(losses)) if losses else float("nan")
+            for ms, prefix in ((pose_ms, "pose"), (recon_ms, "recon")):
+                if ms:
+                    for key in ms[0]:
+                        results[f"val/{name}/{prefix}/{key}"] = float(
+                            np.mean([m[key] for m in ms])
+                        )
+        self.metrics.log(step=int(self.state.step), epoch=epoch, **results)
+        log.info(f"validation @ epoch {epoch}: "
+                 + json.dumps({k: round(v, 4) for k, v in results.items()}))
+        return results
+
+
+def _split_preds_by_view(preds: Dict[str, jnp.ndarray]) -> List[Dict]:
+    V = preds["pts3d_in_other_view"].shape[1]
+    return [
+        {k: np.asarray(v[:, i]) for k, v in preds.items()} for i in range(V)
+    ]
+
+
+def _split_batch_by_view(batch, preds):
+    V = preds["pts3d_in_other_view"].shape[1]
+    views = [
+        {
+            "pts3d": np.asarray(batch["pts3d"][:, i]),
+            "valid_mask": np.asarray(batch["valid_mask"][:, i]),
+        }
+        for i in range(V)
+    ]
+    return views, _split_preds_by_view(preds)
