@@ -48,10 +48,16 @@ Params = Dict[str, Any]
 @dataclasses.dataclass(frozen=True)
 class Fast3RConfig:
     encoder: EncoderConfig = EncoderConfig()
-    decoder: DecoderConfig = DecoderConfig()
+    decoder: Any = DecoderConfig()  # DecoderConfig | LlamaDecoderConfig
     head: DPTHeadConfig = DPTHeadConfig()
     with_local_head: bool = True
     landscape_only: bool = True  # head orientation handling (misc.py:61-110)
+
+    @property
+    def decoder_type(self) -> str:
+        from fast3r_tpu.models.llama_decoder import LlamaDecoderConfig
+
+        return "llama" if isinstance(self.decoder, LlamaDecoderConfig) else "fast3r"
 
     @staticmethod
     def flagship(attn_impl: str = "pallas") -> "Fast3RConfig":
@@ -91,14 +97,41 @@ class Fast3RConfig:
 
 def init_fast3r(key, cfg: Fast3RConfig, dtype=jnp.float32) -> Params:
     k1, k2, k3, k4 = jax.random.split(key, 4)
+    if cfg.decoder_type == "llama":
+        from fast3r_tpu.models.llama_decoder import init_llama_decoder
+
+        dec = init_llama_decoder(k2, cfg.decoder, dtype)
+    else:
+        dec = init_decoder(k2, cfg.decoder, dtype)
     params = {
         "encoder": init_encoder(k1, cfg.encoder, dtype),
-        "decoder": init_decoder(k2, cfg.decoder, dtype),
+        "decoder": dec,
         "head_global": init_dpt_head(k3, cfg.head, dtype),
     }
     if cfg.with_local_head:
         params["head_local"] = init_dpt_head(k4, cfg.head, dtype)
     return params
+
+
+def freeze_mask(params: Params, cfg: Fast3RConfig, freeze: str) -> Params:
+    """Trainability mask for optax.masked — the set_freeze equivalent
+    (reference fast3r.py:241-248): "none" trains everything, "encoder"
+    freezes the encoder, "sandwich" freezes encoder + global head.
+
+    Returns a pytree of bools (True = trainable).
+    """
+    frozen_roots = {
+        "none": set(),
+        "encoder": {"encoder"},
+        "sandwich": {"encoder", "head_global"},
+    }[freeze]
+
+    def mask_subtree(sub, trainable):
+        return jax.tree.map(lambda _: trainable, sub)
+
+    return {
+        k: mask_subtree(v, k not in frozen_roots) for k, v in params.items()
+    }
 
 
 def _run_head_oriented(head_params, head_cfg, hook_tokens, H, W,
@@ -164,23 +197,35 @@ def fast3r_forward(
     fused = feats.reshape(B, V * P, -1)
 
     # ---- image ids (fast3r.py:330-348, 715-766) ----
-    if is_training and cfg.decoder.random_image_idx_embedding:
+    use_random_ids = (
+        is_training and cfg.decoder_type == "fast3r"
+        and cfg.decoder.random_image_idx_embedding
+    )
+    if use_random_ids:
         assert rng is not None, "training forward needs an rng for image ids"
         view_ids = sample_random_image_ids(rng, B, V)  # (B, V)
     else:
+        # for the llama decoder the random TRAINING ids are drawn inside its
+        # forward (they feed rope, while these ids feed the view-0 mask)
         view_ids = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32)[None], (B, V))
     image_ids = jnp.repeat(view_ids, P, axis=1)  # (B, V*P)
 
     # ---- fusion decoder (fast3r.py:768-808) ----
-    dec_out = decoder_forward(params["decoder"], cfg.decoder, fused, image_ids,
-                              is_training=is_training, remat=remat)
+    if cfg.decoder_type == "llama":
+        from fast3r_tpu.models.llama_decoder import llama_decoder_forward
+
+        dec_out = llama_decoder_forward(
+            params["decoder"], cfg.decoder, fused, image_ids,
+            is_training=is_training, rng=rng, num_views=V,
+        )
+    else:
+        dec_out = decoder_forward(params["decoder"], cfg.decoder, fused,
+                                  image_ids, is_training=is_training,
+                                  remat=remat)
 
     # ---- heads (fast3r.py:365-485) ----
     hooks = cfg.decoder.hooks
-    # (B, V*P, C) -> (B*V, P, C)
-    hook_tokens = [
-        dec_out[h].reshape(B, V, P, -1).reshape(B * V, P, -1) for h in hooks
-    ]
+    hook_seq = [dec_out[h] for h in hooks]  # each (B, V*P, C)
     is_portrait = (flat_shapes[:, 1] < flat_shapes[:, 0]) if mixed_orientation else None
 
     def run_heads(tokens, portrait_mask):
@@ -199,30 +244,42 @@ def fast3r_forward(
         return res
 
     if head_chunk_views is not None and V % head_chunk_views == 0 and V > head_chunk_views:
-        nchunks = V // head_chunk_views
-        # regroup to (nchunks, B*chunk, P, C)
-        chunked = [
-            t.reshape(B, V, P, -1)
-             .reshape(B, nchunks, head_chunk_views, P, -1)
-             .swapaxes(0, 1)
-             .reshape(nchunks, B * head_chunk_views, P, -1)
-            for t in hook_tokens
-        ]
-        pmask = (
-            is_portrait.reshape(B, nchunks, head_chunk_views)
-            .swapaxes(0, 1).reshape(nchunks, -1)
-            if is_portrait is not None else jnp.zeros((nchunks, 1), bool)
+        cv = head_chunk_views
+        nchunks = V // cv
+        # slice each chunk's tokens inside the map body — materializing a full
+        # regrouped copy of every hook tensor would double HBM (at 1000 views
+        # the hooks alone are ~5 GB)
+        if is_portrait is not None:
+            pmask_chunks = (
+                is_portrait.reshape(B, nchunks, cv).swapaxes(0, 1)
+                .reshape(nchunks, B * cv)
+            )
+        else:
+            pmask_chunks = jnp.zeros((nchunks, 1), bool)
+
+        def chunk_fn(args):
+            ci, pmask = args
+            toks = [
+                jax.lax.dynamic_slice_in_dim(t, ci * cv * P, cv * P, axis=1)
+                   .reshape(B, cv, P, -1).reshape(B * cv, P, -1)
+                for t in hook_seq
+            ]
+            return run_heads(toks, pmask if mixed_orientation else None)
+
+        res = jax.lax.map(
+            chunk_fn, (jnp.arange(nchunks, dtype=jnp.int32), pmask_chunks)
         )
-        res = jax.lax.map(lambda args: run_heads(list(args[0]), args[1] if mixed_orientation else None),
-                          (tuple(chunked), pmask))
-        # (nchunks, B*chunk, ...) -> (B, V, ...)
+        # (nchunks, B*cv, ...) -> (B, V, ...)
         res = {
-            k: v.reshape((nchunks, B, head_chunk_views) + v.shape[2:])
+            k: v.reshape((nchunks, B, cv) + v.shape[2:])
                  .swapaxes(0, 1)
                  .reshape((B, V) + v.shape[2:])
             for k, v in res.items()
         }
         return res
 
+    hook_tokens = [
+        t.reshape(B, V, P, -1).reshape(B * V, P, -1) for t in hook_seq
+    ]
     res = run_heads(hook_tokens, is_portrait)
     return {k: v.reshape((B, V) + v.shape[1:]) for k, v in res.items()}

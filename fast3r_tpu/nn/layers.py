@@ -175,7 +175,10 @@ def attention_layer(
         # apply_rope2d expects (B, H, N, D)
         q = jnp.swapaxes(apply_rope2d(jnp.swapaxes(q, 1, 2), cos, sin), 1, 2)
         k = jnp.swapaxes(apply_rope2d(jnp.swapaxes(k, 1, 2), cos, sin), 1, 2)
-    o = dot_product_attention(q, k, v, scale=scale, impl=attn_impl)
+    if callable(attn_impl):
+        o = attn_impl(q, k, v, scale)
+    else:
+        o = dot_product_attention(q, k, v, scale=scale, impl=attn_impl)
     return linear(p["proj"], o.reshape(B, N, C))
 
 
