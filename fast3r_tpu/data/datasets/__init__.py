@@ -1,3 +1,17 @@
 """Dataset implementations + DSL registry."""
 
 from fast3r_tpu.data.datasets.dummy_multiview import DummyMultiview  # noqa: F401
+from fast3r_tpu.data.datasets.eval_many_view import (  # noqa: F401
+    DTU,
+    NRGBD,
+    BaseManyViewDataset,
+    SevenScenes,
+)
+from fast3r_tpu.data.datasets.multiview import (  # noqa: F401
+    ARKitScenes_Multiview,
+    BlendMVS,
+    Co3d_Multiview,
+    Habitat_Multiview,
+    MegaDepth_Multiview,
+    ScanNetpp_Multiview,
+)
