@@ -1,0 +1,83 @@
+"""Headless reconstruction CLI: images/video -> pointmaps + poses + PLY.
+
+This is the serving path of the reference demo (fast3r/viz/demo.py
+process_images: load_images -> inference -> align local to global -> pose
+estimation -> visualization) without the Gradio/Viser UI:
+
+    python -m fast3r_tpu.cli.reconstruct IMAGE_DIR --out OUT_DIR \
+        [--checkpoint HF_DIR] [--size 512] [--backend cv2|jax]
+
+Writes: scene.ply (merged colored cloud), poses.json (per-view c2w + focals),
+and per-view .npz pointmaps.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="Fast3R reconstruction")
+    ap.add_argument("images", help="image folder, list, or video file")
+    ap.add_argument("--out", default="recon_out")
+    ap.add_argument("--checkpoint", default=None,
+                    help="HF-format checkpoint dir; random weights if omitted")
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--backend", default="cv2", choices=["cv2", "jax"])
+    ap.add_argument("--conf-percentile", type=float, default=10.0)
+    ap.add_argument("--mask-sky", action="store_true")
+    ap.add_argument("--save-npz", action="store_true")
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    from fast3r_tpu.eval.pose import estimate_camera_poses
+    from fast3r_tpu.eval.recon import align_local_pts3d_to_global
+    from fast3r_tpu.inference import Fast3R, inference
+    from fast3r_tpu.models.fast3r import Fast3RConfig
+    from fast3r_tpu.serve.visualizer import assemble_scene, export_scene_ply
+    from fast3r_tpu.utils.image import load_images
+
+    src = args.images
+    if src.endswith((".mp4", ".mov", ".avi", ".webm")):
+        from fast3r_tpu.serve.video import extract_frames_from_video
+
+        src = extract_frames_from_video(src, os.path.join(args.out, "frames"))
+
+    views = load_images(src, size=args.size)
+
+    if args.checkpoint:
+        model = Fast3R.from_pretrained(args.checkpoint)
+    else:
+        print("WARNING: no checkpoint given; using random weights (smoke run)")
+        model = Fast3R.from_random(Fast3RConfig.tiny())
+
+    result = inference(views, model, verbose=True)
+    preds = result["preds"]
+    align_local_pts3d_to_global(preds, min_conf_thr_percentile=85.0)
+
+    poses, focals = estimate_camera_poses(preds, backend=args.backend)
+
+    os.makedirs(args.out, exist_ok=True)
+    scene = assemble_scene(views, preds,
+                           conf_percentile=args.conf_percentile,
+                           mask_sky=args.mask_sky)
+    ply_path = export_scene_ply(os.path.join(args.out, "scene.ply"), scene)
+    with open(os.path.join(args.out, "poses.json"), "w") as f:
+        json.dump({
+            "poses_c2w": [p.tolist() for p in poses[0]],
+            "focals": [float(x) if x is not None else None
+                       for x in focals[0]],
+        }, f, indent=2)
+    if args.save_npz:
+        for i, p in enumerate(preds):
+            np.savez(os.path.join(args.out, f"view_{i:04d}.npz"), **p)
+
+    print(f"wrote {ply_path} ({len(scene['points'])} points) and poses.json")
+
+
+if __name__ == "__main__":
+    main()

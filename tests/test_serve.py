@@ -1,0 +1,46 @@
+"""Serving layer tests: PLY round-trip, scene assembly, sky mask."""
+
+import numpy as np
+
+from fast3r_tpu.serve.ply import read_ply, write_ply
+from fast3r_tpu.serve.visualizer import assemble_scene, detect_sky_mask
+
+
+def test_ply_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((100, 3)).astype(np.float32)
+    cols = rng.random((100, 3)).astype(np.float32)
+    path = str(tmp_path / "x.ply")
+    write_ply(path, pts, cols)
+    pts2, cols2 = read_ply(path)
+    np.testing.assert_allclose(pts2, pts)
+    assert cols2.dtype == np.uint8 and cols2.shape == (100, 3)
+
+
+def test_assemble_scene_filters_by_confidence():
+    rng = np.random.default_rng(1)
+    H, W = 16, 24
+    views, preds = [], []
+    for v in range(2):
+        conf = np.full((1, H, W), 2.0, np.float32)
+        conf[0, :8] = 1.0  # low-confidence top half
+        views.append({"img": rng.uniform(-1, 1, (1, H, W, 3)).astype(np.float32)})
+        preds.append({
+            "pts3d_in_other_view": rng.standard_normal((1, H, W, 3)).astype(np.float32),
+            "conf": conf,
+        })
+    scene = assemble_scene(views, preds, use_local_head=False,
+                           conf_percentile=60.0)
+    assert len(scene["points"]) == 2 * (H // 2) * W
+    assert scene["colors"].min() >= 0 and scene["colors"].max() <= 1
+
+
+def test_sky_mask_detects_blue_sky():
+    H, W = 32, 48
+    img = np.full((H, W, 3), -1.0, np.float32)
+    # top half: light blue sky (RGB ~ [0.55, 0.75, 0.95])
+    img[:16] = np.array([0.1, 0.5, 0.9])
+    not_sky = detect_sky_mask(img)
+    assert not_sky.shape == (H, W)
+    assert not_sky[:8].mean() < 0.5      # sky rows mostly masked
+    assert not_sky[20:].mean() > 0.9     # ground rows kept
