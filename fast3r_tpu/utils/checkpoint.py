@@ -109,12 +109,13 @@ def _to_jax_tensors(kind: str, w: np.ndarray, b: Optional[np.ndarray]) -> Params
 
 
 def _from_jax_tensors(kind: str, p: Params) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    # note: contiguous copies — serializers (safetensors) assume C layout
     if kind == "linear":
-        w = np.asarray(p["w"]).T
+        w = np.ascontiguousarray(np.asarray(p["w"]).T)
     elif kind in ("conv", "conv_nobias"):
-        w = np.asarray(p["w"]).transpose(3, 2, 0, 1)
+        w = np.ascontiguousarray(np.asarray(p["w"]).transpose(3, 2, 0, 1))
     elif kind == "convT":
-        w = np.asarray(p["w"]).transpose(2, 3, 0, 1)
+        w = np.ascontiguousarray(np.asarray(p["w"]).transpose(2, 3, 0, 1))
     elif kind == "ln":
         return np.asarray(p["scale"]), np.asarray(p.get("bias"))
     else:
