@@ -33,9 +33,17 @@ except ImportError:
 
 
 def img_norm(img: PIL.Image.Image) -> np.ndarray:
-    """ToTensor + Normalize(0.5, 0.5): uint8 -> float32 in [-1, 1], (H, W, 3)."""
-    arr = np.asarray(img, dtype=np.float32) / 255.0
-    return (arr - 0.5) / 0.5
+    """ToTensor + Normalize(0.5, 0.5): uint8 -> float32 in [-1, 1], (H, W, 3).
+
+    Uses the OpenMP C++ kernel (fast3r_tpu/native.py) when built — this is the
+    data loader's hot per-pixel path.
+    """
+    arr = np.asarray(img)
+    if arr.dtype == np.uint8:
+        from fast3r_tpu.native import img_normalize_native
+
+        return img_normalize_native(arr)
+    return (arr.astype(np.float32) / 255.0 - 0.5) / 0.5
 
 
 def unnormalize_rgb(img: np.ndarray) -> np.ndarray:
