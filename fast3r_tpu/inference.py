@@ -53,21 +53,40 @@ def config_from_reference_args(
         rope_base=float(str(encoder_args.get("pos_embed", "RoPE100"))[len("RoPE"):]),
         attn_impl=attn_impl,
     )
-    dec = DecoderConfig(
-        enc_embed_dim=decoder_args.get("enc_embed_dim", enc.embed_dim),
-        embed_dim=decoder_args.get("embed_dim", 768),
-        num_heads=decoder_args.get("num_heads", 12),
-        depth=decoder_args.get("depth", 12),
-        mlp_ratio=decoder_args.get("mlp_ratio", 4.0),
-        qkv_bias=decoder_args.get("qkv_bias", True),
-        random_image_idx_embedding=decoder_args.get(
-            "random_image_idx_embedding", True
-        ),
-        attn_bias_for_inference_enabled=decoder_args.get(
-            "attn_bias_for_inference_enabled", True
-        ),
-        attn_impl=attn_impl,
-    )
+    if decoder_args.get("decoder_type", "fast3r") == "llama":
+        from fast3r_tpu.models.llama_decoder import LlamaDecoderConfig
+
+        dec = LlamaDecoderConfig(
+            enc_embed_dim=decoder_args.get("enc_embed_dim", enc.embed_dim),
+            embed_dim=decoder_args.get("embed_dim", 1024),
+            n_layers=decoder_args.get("n_layers", 24),
+            n_heads=decoder_args.get("n_heads", 16),
+            n_kv_heads=decoder_args.get("n_kv_heads"),
+            multiple_of=decoder_args.get("multiple_of", 256),
+            ffn_dim_multiplier=decoder_args.get("ffn_dim_multiplier"),
+            norm_eps=decoder_args.get("norm_eps", 1e-5),
+            rope_theta=decoder_args.get("rope_theta", 10000.0),
+            max_seq_len=decoder_args.get("max_seq_len", 1000),
+            random_image_idx_embedding=decoder_args.get(
+                "random_image_idx_embedding", True),
+            attn_impl=attn_impl,
+        )
+    else:
+        dec = DecoderConfig(
+            enc_embed_dim=decoder_args.get("enc_embed_dim", enc.embed_dim),
+            embed_dim=decoder_args.get("embed_dim", 768),
+            num_heads=decoder_args.get("num_heads", 12),
+            depth=decoder_args.get("depth", 12),
+            mlp_ratio=decoder_args.get("mlp_ratio", 4.0),
+            qkv_bias=decoder_args.get("qkv_bias", True),
+            random_image_idx_embedding=decoder_args.get(
+                "random_image_idx_embedding", True
+            ),
+            attn_bias_for_inference_enabled=decoder_args.get(
+                "attn_bias_for_inference_enabled", True
+            ),
+            attn_impl=attn_impl,
+        )
     head = DPTHeadConfig(
         patch_size=head_args.get("patch_size", 16),
         num_channels=3 + bool(head_args.get("conf_mode", ("exp", 1, float("inf")))),
