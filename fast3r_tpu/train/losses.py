@@ -161,6 +161,67 @@ def regr3d_multiview_v4(
     return out, details
 
 
+def regr3d_pair(
+    gt1: Dict[str, jnp.ndarray],
+    gt2: Dict[str, jnp.ndarray],
+    pred1: Dict[str, jnp.ndarray],
+    pred2: Dict[str, jnp.ndarray],
+    norm_mode: str = "avg_dis",
+    gt_scale: bool = False,
+) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+    """Legacy DUSt3R pairwise regression loss (reference losses.py:160-228,
+    Regr3D): both views' GT points in view-1's camera frame; pred1 supervises
+    "pts3d" (own frame == anchor frame), pred2 supervises
+    "pts3d_in_other_view"; joint avg-distance normalization over both views.
+
+    Returns ({"l1": (B,H,W), "l2": (B,H,W)}, details).
+    """
+    in_cam1 = se3_inverse(gt1["camera_pose"].astype(jnp.float32))
+    gt_pts1 = geotrf(in_cam1, gt1["pts3d"].astype(jnp.float32))
+    gt_pts2 = geotrf(in_cam1, gt2["pts3d"].astype(jnp.float32))
+    valid1 = gt1["valid_mask"]
+    valid2 = gt2["valid_mask"]
+    pr_pts1 = pred1["pts3d"].astype(jnp.float32)
+    pr_pts2 = pred2["pts3d_in_other_view"].astype(jnp.float32)
+
+    def joint_factor(p1, p2):
+        pts = jnp.stack([p1, p2], axis=1)      # (B, 2, H, W, 3)
+        valid = jnp.stack([valid1, valid2], axis=1)
+        return _joint_norm_factor(pts, valid, norm_mode)
+
+    nf_pr = joint_factor(pr_pts1, pr_pts2)[:, None, None, None]
+    pr_pts1, pr_pts2 = pr_pts1 / nf_pr, pr_pts2 / nf_pr
+    if not gt_scale:
+        nf_gt = joint_factor(gt_pts1, gt_pts2)[:, None, None, None]
+        gt_pts1, gt_pts2 = gt_pts1 / nf_gt, gt_pts2 / nf_gt
+
+    l1 = jnp.linalg.norm(pr_pts1 - gt_pts1, axis=-1)
+    l2 = jnp.linalg.norm(pr_pts2 - gt_pts2, axis=-1)
+    details = {
+        "Regr3D_pts3d_1": _masked_mean(l1, valid1),
+        "Regr3D_pts3d_2": _masked_mean(l2, valid2),
+    }
+    return {"l1": l1, "l2": l2, "valid1": valid1, "valid2": valid2}, details
+
+
+def conf_loss_pair(
+    gt1, gt2, pred1, pred2, alpha: float = 0.2,
+    norm_mode: str = "avg_dis", gt_scale: bool = False,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Legacy pairwise confidence loss (reference ConfLoss.compute_loss):
+    SUM over the two views of masked-mean(conf*loss - alpha*log conf)."""
+    pixel, details = regr3d_pair(gt1, gt2, pred1, pred2, norm_mode, gt_scale)
+    terms = []
+    for li, vi, pred in (("l1", "valid1", pred1), ("l2", "valid2", pred2)):
+        conf = pred["conf"].astype(jnp.float32)
+        px = pixel[li] * conf - alpha * jnp.log(conf)
+        terms.append(_masked_mean(px, pixel[vi]))
+    loss = terms[0] + terms[1]
+    details["conf_loss_1"] = terms[0]
+    details["conf_loss_2"] = terms[1]
+    return loss, details
+
+
 def conf_loss_multiview_v2(
     gts: Dict[str, jnp.ndarray],
     preds: Dict[str, jnp.ndarray],
