@@ -1,0 +1,97 @@
+"""Evaluation entry point.
+
+Reference: fast3r/eval.py:54-139 — reload the model config from the run's
+config snapshot, restore the checkpoint, and run validation (loss + pose/recon
+metric suites) over the configured validation datasets.
+
+    python -m fast3r_tpu.cli.eval --run-dir runs/flagship \
+        [--checkpoint last] [key=value ...]
+    python -m fast3r_tpu.cli.eval --hf-checkpoint CKPT_DIR \
+        data.validation_datasets="[...]"
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="Evaluate Fast3R (TPU)")
+    ap.add_argument("--run-dir", default=None)
+    ap.add_argument("--hf-checkpoint", default=None)
+    ap.add_argument("--checkpoint", default="last")
+    ap.add_argument("--eval-pose", action="store_true",
+                    help="run pose metrics on every dataset")
+    ap.add_argument("--eval-recon", action="store_true",
+                    help="run reconstruction metrics on every dataset")
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args(argv)
+
+    import jax
+    import yaml
+
+    from fast3r_tpu.config import (
+        load_config,
+        loss_config_from_dict,
+        model_config_from_dict,
+        parse_override,
+        set_dotted,
+    )
+    from fast3r_tpu.data.loader import get_data_loader
+    from fast3r_tpu.train.step import OptimConfig
+    from fast3r_tpu.train.trainer import Trainer, TrainerConfig
+    from fast3r_tpu.utils.checkpoint_utils import load_model
+    from fast3r_tpu.utils.logging import RankedLogger
+
+    log = RankedLogger("fast3r_tpu.eval")
+    assert args.run_dir or args.hf_checkpoint, \
+        "need --run-dir or --hf-checkpoint"
+
+    if args.run_dir:
+        # the run's config snapshot is the source of truth (eval.py:69-83)
+        with open(os.path.join(args.run_dir, "config.yaml")) as f:
+            cfg = yaml.safe_load(f)
+    else:
+        default_cfg = os.path.join(os.path.dirname(__file__), "..", "configs",
+                                   "train.yaml")
+        cfg = load_config(default_cfg)
+    for ov in args.overrides:
+        k, v = parse_override(ov)
+        set_dotted(cfg, k, v)
+
+    model = load_model(args.run_dir or args.hf_checkpoint,
+                       ckpt_name=args.checkpoint)
+    model_cfg = model.cfg
+
+    trainer = Trainer(
+        model_cfg, OptimConfig(), loss_config_from_dict(cfg.get("loss", {})),
+        TrainerConfig(run_dir=args.run_dir or "eval_out", remat=False),
+        init_params=model.params,
+    )
+
+    data_cfg = cfg.get("data", {})
+    bs = data_cfg.get("batch_size_per_device", 1) * jax.device_count()
+    val_loaders, pose_flags, recon_flags = {}, {}, {}
+    for i, expr in enumerate(data_cfg.get("validation_datasets", [])):
+        name = f"dataset_{i}"
+        vl = get_data_loader(expr, batch_size=bs, num_workers=0)
+        if hasattr(vl.dataset, "set_epoch"):
+            vl.dataset.set_epoch(0)
+        if vl.sampler is not None:
+            vl.sampler.set_epoch(0)
+        val_loaders[name] = vl
+        # reference dispatch: Co3D -> pose eval; DTU/7scenes/NRGBD -> recon
+        pose_flags[name] = args.eval_pose or "Co3d" in expr
+        recon_flags[name] = args.eval_recon or any(
+            d in expr for d in ("DTU", "SevenScenes", "NRGBD"))
+
+    results = trainer.validate(val_loaders, epoch=0,
+                               eval_pose=pose_flags, eval_recon=recon_flags)
+    print(json.dumps(results, indent=2))
+    return results
+
+
+if __name__ == "__main__":
+    main()

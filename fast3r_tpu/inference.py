@@ -245,32 +245,109 @@ def _build_varshape_forward(model: Fast3R, shape_sig: Tuple[Tuple[int, int], ...
 
 
 def forward_views(model: Fast3R, views: Sequence[Dict], profiling: bool = False):
-    """Run the model on reference-style view dicts -> list of per-view preds."""
+    """Run the model on reference-style view dicts -> list of per-view preds.
+
+    profiling=True runs encoder/decoder/heads as separate programs with a
+    device sync between phases and returns the reference's profiling_info
+    keys (SURVEY.md §5.1 — fast3r.py:311-495); the default path fuses
+    everything into one XLA program (faster, no phase boundaries).
+    """
     imgs_np, shapes = _views_to_arrays(views)
     shape_sig = tuple(shapes)
+    imgs = [jnp.asarray(x, model.dtype) for x in imgs_np]
+
+    if profiling:
+        return _forward_views_staged(model, imgs, shape_sig)
 
     t0 = time.perf_counter()
     if shape_sig not in model._jit_cache:
         model._jit_cache[shape_sig] = _build_varshape_forward(model, shape_sig)
     fn = model._jit_cache[shape_sig]
-    imgs = [jnp.asarray(x, model.dtype) for x in imgs_np]
     preds = fn(model.params, *imgs)
     preds = jax.block_until_ready(preds)
-    total = time.perf_counter() - t0
+    return [
+        {k: np.asarray(v, np.float32) for k, v in p.items()} for p in preds
+    ]
+
+
+def _sync(x):
+    """Force execution (block_until_ready is unreliable on tunneled TPUs)."""
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(leaf.ravel()[0])
+    return x
+
+
+def _forward_views_staged(model: Fast3R, imgs, shape_sig):
+    """Per-phase timed forward (the reference's profiling dict contract)."""
+    cfg = model.cfg
+    ps = cfg.encoder.patch_size
+    patch_counts = [(h // ps) * (w // ps) for (h, w) in shape_sig]
+    V = len(shape_sig)
+    key = ("staged",) + tuple(shape_sig)
+    if key not in model._jit_cache:
+        inference_enc_cfg = EncoderConfig(
+            **{**cfg.encoder.__dict__, "patch_embed_cls": "PatchEmbedDust3R"})
+
+        def enc_fn(params, *ims):
+            groups: Dict[Tuple[int, int], list] = {}
+            for i, s in enumerate(shape_sig):
+                groups.setdefault(s, []).append(i)
+            feats = [None] * V
+            for s, idxs in groups.items():
+                batch = jnp.concatenate([ims[i] for i in idxs], axis=0)
+                f, _ = encoder_forward(params["encoder"], inference_enc_cfg,
+                                       batch)
+                for j, i in enumerate(idxs):
+                    feats[i] = f[j:j + 1]
+            return jnp.concatenate(feats, axis=1)
+
+        def dec_fn(params, fused):
+            ids = jnp.concatenate([
+                jnp.full((patch_counts[i],), i, jnp.int32) for i in range(V)
+            ])[None]
+            out = decoder_forward(params["decoder"], cfg.decoder, fused, ids,
+                                  is_training=False)
+            return [out[h] for h in cfg.decoder.hooks]
+
+        def head_fn(params, hook_list):
+            offsets = np.cumsum([0] + patch_counts)
+            results = []
+            for i, (h, w) in enumerate(shape_sig):
+                tokens = [t[:, offsets[i]:offsets[i + 1]] for t in hook_list]
+                g = dpt_head_forward(params["head_global"], cfg.head, tokens,
+                                     (h, w))
+                res = {"pts3d_in_other_view": g["pts3d"], "conf": g["conf"]}
+                if cfg.with_local_head:
+                    l = dpt_head_forward(params["head_local"], cfg.head,
+                                         tokens, (h, w))
+                    res["pts3d_local"] = l["pts3d"]
+                    res["conf_local"] = l["conf"]
+                results.append(res)
+            return results
+
+        model._jit_cache[key] = (jax.jit(enc_fn), jax.jit(dec_fn),
+                                 jax.jit(head_fn))
+    enc_fn, dec_fn, head_fn = model._jit_cache[key]
+
+    t0 = time.perf_counter()
+    fused = _sync(enc_fn(model.params, *imgs))
+    t1 = time.perf_counter()
+    hook_list = _sync(dec_fn(model.params, fused))
+    t2 = time.perf_counter()
+    preds = _sync(head_fn(model.params, hook_list))
+    t3 = time.perf_counter()
 
     preds = [
         {k: np.asarray(v, np.float32) for k, v in p.items()} for p in preds
     ]
-    if profiling:
-        info = {
-            "encode_images_time": float("nan"),  # fused in one XLA program
-            "pos_emb_time": float("nan"),
-            "decoder_time": float("nan"),
-            "head_forward_time": float("nan"),
-            "total_time": total,
-        }
-        return preds, info
-    return preds
+    info = {
+        "encode_images_time": t1 - t0,
+        "pos_emb_time": 0.0,   # fused into the decoder program
+        "decoder_time": t2 - t1,
+        "head_forward_time": t3 - t2,
+        "total_time": t3 - t0,
+    }
+    return preds, info
 
 
 def inference(multiple_views_in_one_sample: Sequence[Dict], model: Fast3R,
