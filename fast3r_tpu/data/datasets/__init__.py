@@ -5,6 +5,8 @@ from fast3r_tpu.data.datasets.eval_many_view import (  # noqa: F401
     DTU,
     NRGBD,
     BaseManyViewDataset,
+    Demo,
+    Scannet,
     SevenScenes,
 )
 from fast3r_tpu.data.datasets.multiview import (  # noqa: F401

@@ -236,6 +236,127 @@ class SevenScenes(BaseManyViewDataset):
 
 
 @register_dataset
+class Scannet(BaseManyViewDataset):
+    """ScanNet eval (reference spann3r_datasets/scannet.py): scans[_test]
+    layout with sensor_data/frame-XXXXXX.{color.jpg,depth.png,pose.txt} and
+    intrinsic/intrinsic_depth.txt; invalid frames skipped in full_video."""
+
+    def __init__(self, num_seq=100, num_frames=5, min_thresh=10,
+                 max_thresh=100, test_id=None, full_video=False, kf_every=1,
+                 *args, ROOT, **kwargs):
+        super().__init__(num_views=num_frames, *args, **kwargs)
+        self.ROOT = ROOT
+        self.num_seq = num_seq
+        self.num_frames = num_frames
+        self.min_thresh, self.max_thresh = min_thresh, max_thresh
+        self.full_video = full_video
+        self.kf_every = kf_every
+        self.folder = {"train": "scans", "val": "scans",
+                       "test": "scans_test"}[self.split]
+        if test_id is None:
+            split_file = osp.join(ROOT, "splits",
+                                  f"scannetv2_{self.split}.txt")
+            self.scene_list = open(split_file).read().splitlines()
+        else:
+            self.scene_list = (test_id if isinstance(test_id, list)
+                               else [test_id])
+
+    def __len__(self):
+        return len(self.scene_list) * self.num_seq
+
+    def _get_views(self, idx, resolution, rng):
+        import cv2
+
+        scene_id = self.scene_list[idx // self.num_seq]
+        K0 = np.loadtxt(osp.join(self.ROOT, self.folder, scene_id,
+                                 "intrinsic/intrinsic_depth.txt")
+                        ).astype(np.float32)[:3, :3]
+        data_path = osp.join(self.ROOT, self.folder, scene_id, "sensor_data")
+        n = len([f for f in os.listdir(data_path) if "color" in f])
+        img_idxs = self.sample_frame_idx(
+            [f"{i:06d}" for i in range(n)], rng, full_video=self.full_video)
+
+        views = []
+        for im_idx in img_idxs:
+            base = osp.join(data_path, f"frame-{im_idx}")
+            rgb = imread_cv2(base + ".color.jpg")
+            depth = imread_cv2(base + ".depth.png", cv2.IMREAD_UNCHANGED)
+            rgb = cv2.resize(rgb, (depth.shape[1], depth.shape[0]))
+            depth = np.nan_to_num(depth.astype(np.float32)) / 1000.0
+            pose = np.loadtxt(base + ".pose.txt").astype(np.float32)
+            if (depth > 0).sum() == 0 or not np.isfinite(pose).all():
+                continue  # skip invalid frames (reference scannet.py:60-66)
+            rgb, depthmap, K = self._crop_resize_if_necessary(
+                rgb, depth, K0.copy(), resolution, rng=rng, info=base)
+            views.append(dict(
+                img=rgb, depthmap=depthmap, camera_pose=pose,
+                camera_intrinsics=K, dataset="scannet",
+                label=osp.join(scene_id, im_idx), instance=im_idx,
+            ))
+        return views
+
+
+@register_dataset
+class Demo(BaseManyViewDataset):
+    """Folder-of-images eval (reference spann3r_datasets/demo.py): optional
+    per-image *_depth.png + .npz metadata (camera_pose/camera_intrinsics/
+    maximum_depth); fabricated intrinsics otherwise."""
+
+    def __init__(self, num_seq=1, num_frames=5, min_thresh=10, max_thresh=100,
+                 full_video=True, kf_every=1, *args, ROOT, **kwargs):
+        super().__init__(num_views=num_frames, *args, **kwargs)
+        self.ROOT = ROOT
+        self.num_seq = num_seq
+        self.num_frames = num_frames
+        self.min_thresh, self.max_thresh = min_thresh, max_thresh
+        self.full_video = full_video
+        self.kf_every = kf_every
+
+    def __len__(self):
+        return self.num_seq
+
+    def _get_views(self, idx, resolution, rng):
+        import cv2
+
+        exts = (".jpg", ".jpeg", ".png", ".heic")
+        names = [f for f in sorted(os.listdir(self.ROOT))
+                 if f.lower().endswith(exts) and "depth" not in f.lower()]
+        names = self.sample_frame_idx(names, rng, full_video=self.full_video)
+
+        views = []
+        for name in names:
+            impath = osp.join(self.ROOT, name)
+            rgb = imread_cv2(impath)
+            stem = impath.rsplit(".", 1)[0]
+            meta_path = stem + ".npz"
+            depth_path = stem + "_depth.png"
+            H0, W0 = rgb.shape[:2]
+            if osp.exists(meta_path):
+                meta = np.load(meta_path)
+                pose = meta["camera_pose"].astype(np.float32)
+                K = meta["camera_intrinsics"].astype(np.float32)
+            else:
+                f = 1.2 * max(H0, W0)
+                K = np.array([[f, 0, W0 / 2], [0, f, H0 / 2], [0, 0, 1]],
+                             np.float32)
+                pose = np.eye(4, dtype=np.float32)
+            if osp.exists(depth_path):
+                depth = imread_cv2(depth_path, cv2.IMREAD_UNCHANGED)
+                depth = np.nan_to_num(depth.astype(np.float32)) / 1000.0
+                rgb = cv2.resize(rgb, (depth.shape[1], depth.shape[0]))
+            else:
+                depth = np.ones(rgb.shape[:2], np.float32)
+            rgb, depthmap, K = self._crop_resize_if_necessary(
+                rgb, depth, K, resolution, rng=rng, info=impath)
+            views.append(dict(
+                img=rgb, depthmap=depthmap, camera_pose=pose,
+                camera_intrinsics=K, dataset="demo", label=name,
+                instance=name,
+            ))
+        return views
+
+
+@register_dataset
 class NRGBD(BaseManyViewDataset):
     def __init__(self, num_seq=1, num_frames=5, min_thresh=10, max_thresh=100,
                  test_id=None, full_video=False, tuple_path=None, seq_id=None,

@@ -53,14 +53,19 @@ def _interpret() -> bool:
 
 
 def _pick_block(s: int, max_block: int) -> int:
-    """Largest multiple of 128 that divides s and is <= max_block (0 if none)."""
-    best = 0
-    b = 128
-    while b <= max_block:
-        if s % b == 0:
-            best = b
-        b += 128
-    return best
+    """Largest block size dividing s, preferring multiples of 128 (full lane
+    tiles), falling back to multiples of 8 (legal: the block's last dim is the
+    full head_dim, so only sublane divisibility applies).  0 if none."""
+    for step in (128, 8):
+        best = 0
+        b = step
+        while b <= max_block:
+            if s % b == 0:
+                best = b
+            b += step
+        if best:
+            return best
+    return 0
 
 
 # ---------------------------------------------------------------------------
