@@ -224,6 +224,18 @@ class Trainer:
                         results[f"val/{name}/{prefix}/{key}"] = float(
                             np.mean([m[key] for m in ms])
                         )
+        # cross-host reduction (the reference's sync_dist/all_gather_object
+        # metric aggregation, module.py:52-65) via multihost_utils
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            keys = sorted(results)
+            vals = np.array([results[k] for k in keys], np.float32)
+            gathered = multihost_utils.process_allgather(vals)
+            results = {
+                k: float(np.nanmean(gathered[:, i]))
+                for i, k in enumerate(keys)
+            }
         self.metrics.log(step=int(self.state.step), epoch=epoch, **results)
         log.info(f"validation @ epoch {epoch}: "
                  + json.dumps({k: round(v, 4) for k, v in results.items()}))
