@@ -77,7 +77,14 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def layernorm(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
-    """LayerNorm computed in fp32 (torch computes LN in fp32 under autocast)."""
+    """LayerNorm with fp32 statistics (torch computes LN in fp32 under
+    autocast).  On TPU this dispatches to the fused Pallas kernel
+    (ops/fused_layernorm.py — one HBM read+write instead of several fp32
+    materializations); numerics are identical (two-pass fp32 stats)."""
+    if jax.default_backend() == "tpu" and x.shape[-1] % 128 == 0:
+        from fast3r_tpu.ops.fused_layernorm import fused_layernorm
+
+        return fused_layernorm(x, p["scale"], p["bias"], eps)
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
