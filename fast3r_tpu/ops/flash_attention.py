@@ -113,9 +113,71 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         lse_ref[0, 0] = m_scr[:, :1] + jnp.log(l)
 
 
+def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float):
+    """Whole-sequence-in-VMEM variant for short sequences, batched over a
+    block of `bb` batch rows per program (boom guide's block_b > 1 pattern) —
+    the per-view encoder case (S = patches/view, B = num_images) where the
+    (B, H, 1, 1) grid is dominated by per-program overhead."""
+    q = q_ref[:, 0]  # (bb, S, D)
+    k = k_ref[:, 0]
+    v = v_ref[:, 0]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale  # (bb, S, Skv)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) / l
+    o_ref[:, 0] = o.astype(o_ref.dtype)
+    lse_ref[:, 0] = m + jnp.log(l)
+
+
+def _pick_batch_block(b: int, s: int, skv: int, vmem_budget=4 * 1024 * 1024):
+    """Largest divisor of b with bb * S * Skv * 4B (scores fp32) in budget."""
+    cap = max(1, vmem_budget // max(4 * s * skv, 1))
+    best = 1
+    for bb in range(1, min(b, cap) + 1):
+        if b % bb == 0:
+            best = bb
+    return best
+
+
+def _flash_forward_single(q, k, v, scale):
+    B, H, S, D = q.shape
+    Skv = k.shape[2]
+    bb = _pick_batch_block(B, S, Skv)
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_single_kernel, scale=scale),
+        grid=(B // bb, H),
+        in_specs=[
+            pl.BlockSpec((bb, 1, S, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((bb, 1, Skv, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((bb, 1, Skv, D), lambda b, h: (b, h, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bb, 1, S, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((bb, 1, S, 1), lambda b, h: (b, h, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, S, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=_interpret(),
+    )(q, k, v)
+    return o, lse
+
+
 def _flash_forward(q, k, v, scale, bq, bk) -> Tuple[jnp.ndarray, jnp.ndarray]:
     B, H, S, D = q.shape
     Skv = k.shape[2]
+    if S == bq and Skv == bk and 4 * S * Skv <= 4 * 1024 * 1024:
+        return _flash_forward_single(q, k, v, scale)
     grid = (B, H, S // bq, Skv // bk)
 
     o, lse = pl.pallas_call(
@@ -139,6 +201,10 @@ def _flash_forward(q, k, v, scale, bq, bk) -> Tuple[jnp.ndarray, jnp.ndarray]:
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, D), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
         interpret=_interpret(),
     )(q, k, v)
     return o, lse
@@ -246,6 +312,10 @@ def _flash_backward(q, k, v, o, lse, do, scale, bq, bk):
         out_specs=pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
         scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
         interpret=_interpret(),
     )(q, k, v, do, lse, delta)
 
@@ -272,6 +342,10 @@ def _flash_backward(q, k, v, o, lse, do, scale, bq, bk):
             pltpu.VMEM((bk, D), jnp.float32),
             pltpu.VMEM((bk, D), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
         interpret=_interpret(),
     )(q, k, v, do, lse, delta)
     return dq, dk, dv
