@@ -135,8 +135,12 @@ def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float):
     lse_ref[:, 0] = m + jnp.log(l)
 
 
-def _pick_batch_block(b: int, s: int, skv: int, vmem_budget=4 * 1024 * 1024):
-    """Largest divisor of b with bb * S * Skv * 4B (scores fp32) in budget."""
+def _pick_batch_block(b: int, s: int, skv: int, vmem_budget=1024 * 1024):
+    """Largest divisor of b with bb * S * Skv * 4B (scores fp32) in budget.
+
+    Budget is conservative (1 MB for the scores tile): Mosaic double-buffers
+    the q/k/v blocks and keeps p/o fp32 intermediates on the same stack, and
+    the scoped-vmem limit is 16 MB total."""
     cap = max(1, vmem_budget // max(4 * s * skv, 1))
     best = 1
     for bb in range(1, min(b, cap) + 1):
@@ -176,7 +180,7 @@ def _flash_forward_single(q, k, v, scale):
 def _flash_forward(q, k, v, scale, bq, bk) -> Tuple[jnp.ndarray, jnp.ndarray]:
     B, H, S, D = q.shape
     Skv = k.shape[2]
-    if S == bq and Skv == bk and 4 * S * Skv <= 4 * 1024 * 1024:
+    if S == bq and Skv == bk and 4 * S * Skv <= 1024 * 1024:
         return _flash_forward_single(q, k, v, scale)
     grid = (B, H, S // bq, Skv // bk)
 

@@ -112,6 +112,30 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-# Optimizer-state shardings are derived by XLA: optimizer.init runs under jit
-# with the param shardings as inputs, so adam moments inherit the param layout
-# (see fast3r_tpu/train/step.py).
+def zero_opt_state_shardings(tx, params, mesh: Mesh):
+    """Explicit ZeRO-style optimizer-state shardings: every param-shaped
+    moment (adam mu/nu) is sharded over the "data" axis on its first
+    divisible dimension; scalars replicate.  The DeepSpeed stage-2 analog
+    used by the reference flagship run (configs/trainer/deepspeed_stage_2.yaml)
+    — optimizer memory scales 1/data_parallelism.
+
+    Use with `jax.jit(tx.init, out_shardings=...)(params)`.
+    """
+    dsize = mesh.shape["data"]
+    shapes = jax.eval_shape(tx.init, params)
+
+    def rule(leaf):
+        for dim, size in enumerate(leaf.shape):
+            if size % dsize == 0 and size >= dsize:
+                return NamedSharding(
+                    mesh, P(*([None] * dim + ["data"]))
+                )
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, shapes)
+
+
+def zero_init_opt_state(tx, params, mesh: Mesh):
+    """Initialize optimizer state with ZeRO sharding over the data axis."""
+    shardings = zero_opt_state_shardings(tx, params, mesh)
+    return jax.jit(tx.init, out_shardings=shardings)(params)
