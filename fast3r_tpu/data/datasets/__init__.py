@@ -4,6 +4,7 @@ from fast3r_tpu.data.datasets.dummy_multiview import DummyMultiview  # noqa: F40
 from fast3r_tpu.data.datasets.eval_many_view import (  # noqa: F401
     DTU,
     NRGBD,
+    Co3d,
     BaseManyViewDataset,
     Demo,
     Scannet,

@@ -236,6 +236,114 @@ class SevenScenes(BaseManyViewDataset):
 
 
 @register_dataset
+class Co3d(BaseManyViewDataset):
+    """CO3D eval variant (reference spann3r_datasets/co3d.py): same file
+    formats as the Co3d_Multiview train loader; frame selection either by
+    stride-filtered combinations (use_comb) or sample_frames; invalid frames
+    replaced by walking the pool."""
+
+    def __init__(self, num_seq=100, num_frames=5, min_thresh=10,
+                 max_thresh=100, mask_bg=True, use_comb=True, lb=5, ub=30,
+                 scene_class=None, scene_id=None, full_video=False,
+                 kf_every=1, *args, ROOT, **kwargs):
+        super().__init__(num_views=num_frames, *args, **kwargs)
+        self.ROOT = ROOT
+        self.num_frames = num_frames
+        self.min_thresh, self.max_thresh = min_thresh, max_thresh
+        assert mask_bg in (True, False, "rand")
+        self.mask_bg = mask_bg
+        self.full_video = full_video
+        self.kf_every = kf_every
+
+        import itertools
+        import json
+
+        with open(osp.join(ROOT, f"selected_seqs_{self.split}.json")) as f:
+            scenes = json.load(f)
+        if scene_class is not None:
+            scenes = {k: v for k, v in scenes.items() if k == scene_class}
+        else:
+            scenes = {k: v for k, v in scenes.items() if len(v) > 0}
+        self.scenes = {
+            (k, k2): v2 for k, v in scenes.items() for k2, v2 in v.items()
+            if scene_id is None or k2 == scene_id
+        }
+        self.scene_list = list(self.scenes.keys())
+
+        if use_comb and not full_video:
+            combos = [
+                c for c in itertools.combinations(range(100), num_frames)
+                if all(lb < abs(x - y) <= ub and abs(x - y) % 5 == 0
+                       for x, y in zip(c, c[1:]))
+            ]
+            self.combinations = combos
+            self.num_seq = len(combos)
+        else:
+            self.combinations = None
+            self.num_seq = num_seq
+        self.invalidate = {s: {} for s in self.scene_list}
+
+    def __len__(self):
+        return len(self.scene_list) * self.num_seq
+
+    def _get_views(self, idx, resolution, rng):
+        import cv2
+
+        obj, instance = self.scene_list[idx // self.num_seq]
+        pool = self.scenes[obj, instance]
+        if self.combinations is not None:
+            frame_idx = self.combinations[idx % len(self.combinations)]
+            last = len(pool) - 1
+            imgs_idxs = [max(0, min(i + int(rng.integers(-4, 5)), last))
+                         for i in frame_idx]
+        else:
+            imgs_idxs = self.sample_frame_idx(
+                list(range(len(pool))), rng, full_video=self.full_video)
+        inval = self.invalidate[obj, instance].setdefault(
+            resolution, [False] * len(pool))
+        mask_bg = self.mask_bg is True or (
+            self.mask_bg == "rand" and rng.choice(2))
+
+        views = []
+        for im_idx in imgs_idxs:
+            if inval[im_idx]:  # walk to a nearby valid frame
+                direction = 2 * int(rng.choice(2)) - 1
+                for off in range(1, len(pool)):
+                    cand = (im_idx + direction * off) % len(pool)
+                    if not inval[cand]:
+                        im_idx = cand
+                        break
+            view_idx = pool[im_idx]
+            impath = osp.join(self.ROOT, obj, instance, "images",
+                              f"frame{view_idx:06d}.jpg")
+            meta = np.load(impath.replace("jpg", "npz"))
+            pose = meta["camera_pose"].astype(np.float32)
+            K = meta["camera_intrinsics"].astype(np.float32)
+            rgb = imread_cv2(impath)
+            depth = imread_cv2(
+                impath.replace("images", "depths") + ".geometric.png",
+                cv2.IMREAD_UNCHANGED,
+            ).astype(np.float32) / 65535 * np.nan_to_num(meta["maximum_depth"])
+            if mask_bg:
+                mask = imread_cv2(
+                    osp.join(self.ROOT, obj, instance, "masks",
+                             f"frame{view_idx:06d}.png"), cv2.IMREAD_UNCHANGED)
+                depth *= (mask.astype(np.float32) / 255.0) > 0.1
+            rgb, depth, K = self._crop_resize_if_necessary(
+                rgb, depth, K, resolution, rng=rng, info=impath)
+            if (depth > 0.0).sum() == 0:
+                inval[im_idx] = True
+                continue
+            views.append(dict(
+                img=rgb, depthmap=depth, camera_pose=pose,
+                camera_intrinsics=K, dataset="co3d",
+                label=osp.join(obj, instance),
+                instance=osp.split(impath)[1],
+            ))
+        return views
+
+
+@register_dataset
 class Scannet(BaseManyViewDataset):
     """ScanNet eval (reference spann3r_datasets/scannet.py): scans[_test]
     layout with sensor_data/frame-XXXXXX.{color.jpg,depth.png,pose.txt} and
