@@ -55,6 +55,11 @@ class TrainerConfig:
     log_every_n_steps: int = 10
     seed: int = 42
     remat: bool = True
+    # SPMD: data axis -1 means "all remaining devices"; model_axis > 1 enables
+    # tensor parallelism; use_mesh=False keeps the single-device path
+    use_mesh: bool = False
+    data_axis: int = -1
+    model_axis: int = 1
 
 
 class Trainer:
@@ -76,9 +81,38 @@ class Trainer:
         params = init_params
         if params is None:
             params = init_fast3r(jax.random.key(self.cfg.seed), model_cfg)
-        self.state = init_train_state(
-            params, optim_cfg, jax.random.key(self.cfg.seed + 1)
-        )
+
+        self.mesh = None
+        self._batch_sharding = None
+        if self.cfg.use_mesh and len(jax.devices()) > 1:
+            from fast3r_tpu.parallel.mesh import (
+                batch_sharding,
+                make_mesh,
+                shard_params,
+                zero_init_opt_state,
+            )
+            from fast3r_tpu.train.step import make_optimizer
+
+            model_ax = max(1, self.cfg.model_axis)
+            data_ax = (len(jax.devices()) // model_ax
+                       if self.cfg.data_axis in (-1, 0, None)
+                       else self.cfg.data_axis)
+            self.mesh = make_mesh(data=data_ax, model=model_ax)
+            self._batch_sharding = batch_sharding(self.mesh)
+            params = shard_params(params, self.mesh)
+            tx = make_optimizer(optim_cfg)
+            self.state = TrainState(
+                params=params,
+                opt_state=zero_init_opt_state(tx, params, self.mesh),
+                step=jnp.zeros((), jnp.int32),
+                rng=jax.random.key(self.cfg.seed + 1),
+            )
+            log.info(f"SPMD mesh: data={data_ax} x model={model_ax}; "
+                     f"ZeRO-sharded optimizer state")
+        if self.mesh is None:
+            self.state = init_train_state(
+                params, optim_cfg, jax.random.key(self.cfg.seed + 1)
+            )
         self.step_fn = make_jitted_train_step(
             model_cfg, optim_cfg, loss_cfg, remat=self.cfg.remat
         )
@@ -128,6 +162,11 @@ class Trainer:
 
     # ---- train ----------------------------------------------------------
     def _device_batch(self, batch) -> Dict[str, jnp.ndarray]:
+        if self._batch_sharding is not None:
+            return {
+                k: jax.device_put(jnp.asarray(batch[k]), self._batch_sharding)
+                for k in BATCH_KEYS
+            }
         return {k: jnp.asarray(batch[k]) for k in BATCH_KEYS}
 
     def fit(self, train_loader, val_loaders: Optional[Dict[str, Any]] = None,
