@@ -62,9 +62,14 @@ class Fast3RConfig:
     @staticmethod
     def flagship(attn_impl: str = "pallas") -> "Fast3RConfig":
         """ViT-L/16 encoder + 1024x24 fusion decoder + dual DPT heads
-        (configs/experiment/super_long_training/super_long_training.yaml)."""
+        (configs/experiment/super_long_training/super_long_training.yaml).
+
+        The encoder uses "auto" attention (XLA for short per-view sequences,
+        flash for large batches); the fused decoder uses `attn_impl`.
+        """
         enc = EncoderConfig(embed_dim=1024, num_heads=16, depth=24,
-                            attn_impl=attn_impl)
+                            attn_impl="auto" if attn_impl == "pallas"
+                            else attn_impl)
         dec = DecoderConfig(enc_embed_dim=1024, embed_dim=1024, num_heads=16,
                             depth=24, attn_impl=attn_impl)
         head = DPTHeadConfig(dim_tokens=(enc.embed_dim, dec.embed_dim,

@@ -44,6 +44,13 @@ def dot_product_attention(
     Returns:
       (B, N, H, D) in q.dtype.
     """
+    if impl == "auto":
+        # short sequences: XLA wins (fuses RoPE/projection epilogues across
+        # the op; measured 175 vs 227 ms for the 20-view encoder); long
+        # sequences: the fp32 logits would not fit, use the flash kernel
+        B, N, H, _ = q.shape
+        logits_bytes = 4 * B * H * N * k.shape[1]
+        impl = "xla" if logits_bytes <= 1 << 30 else "pallas"
     if impl == "naive":
         logits = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
