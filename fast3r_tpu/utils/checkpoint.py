@@ -191,6 +191,81 @@ def torch_state_dict_to_params(
     return _intdicts_to_lists(tree)
 
 
+def load_dust3r_checkpoint_partial(
+    params: Params,
+    state_dict: Dict[str, np.ndarray],
+    enc_depth: int,
+    load_head: bool = True,
+) -> Params:
+    """Initialize a Fast3R param tree from a pairwise DUSt3R checkpoint.
+
+    Behavioral reference: fast3r/models/fast3r.py:162-239
+    (load_from_dust3r_checkpoint): only patch_embed / enc_blocks / enc_norm
+    (-> encoder) and downstream_head1 (-> global head) transfer; everything
+    else (fusion decoder, local head) keeps its current initialization.
+
+    Returns a new param tree; missing/mismatched tensors are skipped (the
+    reference's strict=False behavior).
+    """
+    import jax
+
+    sd = {}
+    for k, v in state_dict.items():
+        sd[k] = np.asarray(getattr(v, "numpy", lambda: v)()
+                           if hasattr(v, "numpy") else v)
+
+    out = jax.tree.map(lambda a: np.asarray(a).copy(), params)
+
+    entries: List[Tuple[str, Tuple, str]] = [
+        ("patch_embed.proj", ("encoder", "patch_embed"), "conv"),
+        ("enc_norm", ("encoder", "norm"), "ln"),
+    ]
+    for i in range(enc_depth):
+        entries += _block_entries(f"enc_blocks.{i}.", ("encoder", "blocks", i))
+    if load_head:
+        entries += [
+            (t.replace("downstream_head.", "downstream_head1."), p, k)
+            for (t, p, k) in _head_entries("downstream_head", "head_global")
+        ]
+
+    loaded = skipped = 0
+    for prefix, path, kind in entries:
+        wkey = prefix + ".weight"
+        if wkey not in sd:
+            skipped += 1
+            continue
+        p = _to_jax_tensors(kind, sd[wkey], sd.get(prefix + ".bias"))
+        # stacked block layers write one slice of the layer axis
+        if len(path) >= 3 and path[1] == "blocks":
+            layer = path[2]
+            node = _get_path(out, (path[0], "blocks") + path[3:])
+            ok = all(
+                k in node and node[k].shape[1:] == v.shape
+                for k, v in p.items()
+            )
+            if not ok:
+                skipped += 1
+                continue
+            for k, v in p.items():
+                node[k] = np.asarray(node[k]).copy()
+                node[k][layer] = v
+        else:
+            try:
+                node = _get_path(out, path[:-1])
+                cur = node[path[-1]] if isinstance(node, list) \
+                    else node.get(path[-1], {})
+            except (KeyError, IndexError):
+                skipped += 1
+                continue
+            if not all(k in cur and np.shape(cur[k]) == v.shape
+                       for k, v in p.items()):
+                skipped += 1
+                continue
+            node[path[-1]] = {**cur, **p}
+        loaded += 1
+    return out
+
+
 def _intdicts_to_lists(node):
     """Normalize {0: a, 1: b, ...} dicts into lists to match init_* pytrees."""
     if isinstance(node, dict):
