@@ -18,3 +18,8 @@ from fast3r_tpu.data.datasets.multiview import (  # noqa: F401
     MegaDepth_Multiview,
     ScanNetpp_Multiview,
 )
+from fast3r_tpu.data.datasets.eval_many_view_extra import (  # noqa: F401,E402
+    ArkitScene,
+    BlendMVSEval,
+    Scannetpp,
+)
