@@ -151,9 +151,6 @@ class ArkitScene(_EvalCommon):
         import cv2
 
         scene_id = self.scene_list[idx // self.num_seq]
-        sdir = osp.join(self.scene_path, scene_id, scene_id.split("_")[0]
-                        if "_" in scene_id else scene_id)
-        # reference layout: raw/<split>/<video_id>/<video_id>_frames/...
         sdir = osp.join(self.scene_path, scene_id)
         image_path = osp.join(sdir, "vga_wide")
         depth_path = osp.join(sdir, "lowres_depth")
@@ -177,11 +174,16 @@ class ArkitScene(_EvalCommon):
             pose = self._get_pose(fid, poses)
             if pose is None or not osp.exists(impath) or not osp.exists(dpath):
                 continue
-            K = self._get_intrinsic(intr_path, fid, scene_id)
+            try:
+                K = self._get_intrinsic(intr_path, fid, scene_id)
+            except FileNotFoundError:
+                continue  # skip the frame like the missing-image/pose guards
             rgb = imread_cv2(impath)
             depth = imread_cv2(dpath, cv2.IMREAD_UNCHANGED)
             depth = np.nan_to_num(depth.astype(np.float32)) / 1000.0
             pose = pose.astype(np.float32)
+            # second flip on top of _get_pose's: the reference applies BOTH
+            # (arkit.py get_pose axis fix + _get_views OpenGL->OpenCV flip)
             pose[:, 1:3] *= -1.0
             rgb, depthmap, Ki = self._crop_resize_if_necessary(
                 rgb, depth, K, resolution, rng=rng, info=impath)
