@@ -171,6 +171,24 @@ def _load_state_dict_file(path: str) -> Dict[str, np.ndarray]:
 # the variable-shape fused forward
 # ---------------------------------------------------------------------------
 
+def _inference_image_ids(dec_cfg, patch_counts):
+    """Per-token image ids for the decoder embedding lookup.
+
+    The reference samples RANDOM non-repeating ids (view 0 pinned to 0) even
+    at inference when random_image_idx_embedding is set (fast3r.py:785-790);
+    a fixed key keeps results deterministic across calls.
+    """
+    from fast3r_tpu.models.decoder import sample_random_image_ids
+
+    V = len(patch_counts)
+    if getattr(dec_cfg, "random_image_idx_embedding", False):
+        vids = sample_random_image_ids(jax.random.key(0), 1, V)[0]
+    else:
+        vids = jnp.arange(V, dtype=jnp.int32)
+    return jnp.concatenate([
+        jnp.full((patch_counts[i],), vids[i], jnp.int32) for i in range(V)
+    ])[None]
+
 def _views_to_arrays(views: Sequence[Dict]) -> Tuple[List[np.ndarray], List[Tuple[int, int]]]:
     """Extract (1, H, W, 3) channel-last arrays + true (h, w) per view."""
     imgs, shapes = [], []
@@ -217,9 +235,7 @@ def _build_varshape_forward(model: Fast3R, shape_sig: Tuple[Tuple[int, int], ...
                 feats_per_view[i] = feats[j:j + 1]
         fused = jnp.concatenate(feats_per_view, axis=1)  # (1, S, D)
 
-        image_ids = jnp.concatenate([
-            jnp.full((patch_counts[i],), i, jnp.int32) for i in range(V)
-        ])[None]
+        image_ids = _inference_image_ids(cfg.decoder, patch_counts)
         dec_out = decoder_forward(params["decoder"], cfg.decoder, fused,
                                   image_ids, is_training=False)
 
@@ -302,9 +318,7 @@ def _forward_views_staged(model: Fast3R, imgs, shape_sig):
             return jnp.concatenate(feats, axis=1)
 
         def dec_fn(params, fused):
-            ids = jnp.concatenate([
-                jnp.full((patch_counts[i],), i, jnp.int32) for i in range(V)
-            ])[None]
+            ids = _inference_image_ids(cfg.decoder, patch_counts)
             out = decoder_forward(params["decoder"], cfg.decoder, fused, ids,
                                   is_training=False)
             return [out[h] for h in cfg.decoder.hooks]

@@ -112,7 +112,8 @@ def dino_encoder_forward(
                                       (B, 2))
     is_portrait = true_shape[:, 1] < true_shape[:, 0]
 
-    def encode(images, gh, gw):
+    def embed(images, gh, gw):
+        """Patch conv + cls + interpolated pos embed (orientation-specific)."""
         x = jax.lax.conv_general_dilated(
             images, params["patch_embed"]["w"].astype(images.dtype),
             (ps, ps), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -121,27 +122,29 @@ def dino_encoder_forward(
         cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype),
                                (B, 1, x.shape[-1]))
         x = jnp.concatenate([cls, x], axis=1)
-        x = x + _interp_pos_embed(params["pos_embed"], (gh, gw),
-                                  cfg.pos_embed_size).astype(x.dtype)
-        scale = (cfg.embed_dim // cfg.num_heads) ** -0.5
+        return x + _interp_pos_embed(params["pos_embed"], (gh, gw),
+                                     cfg.pos_embed_size).astype(x.dtype)
 
-        def body(carry, layer):
-            lp, g1, g2 = layer
-            return _dino_block(lp, carry, g1, g2, cfg.num_heads, scale,
-                               cfg.attn_impl, cfg.ln_eps), None
+    # the transformer stack is position-free (no RoPE), so only the cheap
+    # patch-embed stage is computed per orientation and selected per sample;
+    # the 24-block stack then runs ONCE on the selected tokens
+    land = embed(img, h, w)                               # (B, 1+h*w, D)
+    port = embed(jnp.swapaxes(img, 1, 2), w, h)           # (B, 1+w*h, D)
+    sel3 = is_portrait[:, None, None]
+    x = jnp.where(sel3, port, land)
 
-        x, _ = jax.lax.scan(
-            body, x,
-            (params["blocks"], params["ls1"], params["ls2"]))
-        x = layernorm(params["norm"], x, cfg.ln_eps)
-        return x[:, 1:]  # x_norm_patchtokens
+    scale = (cfg.embed_dim // cfg.num_heads) ** -0.5
 
-    land = encode(img, h, w)                                   # (B, h*w, D)
-    port = encode(jnp.swapaxes(img, 1, 2), w, h)               # (B, w*h, D)
-    # un-transpose the portrait grid back to raster (w, h) order matching the
-    # reference's flatten-after-transpose (fast3r.py:615-628)
-    sel = is_portrait[:, None, None]
-    tokens = jnp.where(sel, port, land)
+    def body(carry, layer):
+        lp, g1, g2 = layer
+        return _dino_block(lp, carry, g1, g2, cfg.num_heads, scale,
+                           cfg.attn_impl, cfg.ln_eps), None
+
+    x, _ = jax.lax.scan(
+        body, x, (params["blocks"], params["ls1"], params["ls2"]))
+    x = layernorm(params["norm"], x, cfg.ln_eps)
+    tokens = x[:, 1:]  # x_norm_patchtokens
+    sel = sel3
 
     pos_land = jnp.broadcast_to(position_grid(h, w)[None], (B, h * w, 2))
     pos_port = jnp.broadcast_to(position_grid(w, h)[None], (B, w * h, 2))

@@ -202,16 +202,21 @@ def fast3r_forward(
     fused = feats.reshape(B, V * P, -1)
 
     # ---- image ids (fast3r.py:330-348, 715-766) ----
+    # NOTE: the reference decoder samples random ids whenever
+    # random_image_idx_embedding is set, with NO eval gate (fast3r.py:785-790)
+    # — published-checkpoint inference runs under random ids too.  We match
+    # that; at inference a fixed default key keeps outputs deterministic.
     use_random_ids = (
-        is_training and cfg.decoder_type == "fast3r"
-        and cfg.decoder.random_image_idx_embedding
+        cfg.decoder_type == "fast3r" and cfg.decoder.random_image_idx_embedding
     )
     if use_random_ids:
-        assert rng is not None, "training forward needs an rng for image ids"
+        if rng is None:
+            assert not is_training, "training forward needs an rng for image ids"
+            rng = jax.random.key(0)
         view_ids = sample_random_image_ids(rng, B, V)  # (B, V)
     else:
-        # for the llama decoder the random TRAINING ids are drawn inside its
-        # forward (they feed rope, while these ids feed the view-0 mask)
+        # for the llama decoder the random ids are drawn inside its forward
+        # (they feed rope, while these ids feed the view-0 mask)
         view_ids = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32)[None], (B, V))
     image_ids = jnp.repeat(view_ids, P, axis=1)  # (B, V*P)
 
@@ -221,7 +226,7 @@ def fast3r_forward(
 
         dec_out = llama_decoder_forward(
             params["decoder"], cfg.decoder, fused, image_ids,
-            is_training=is_training, rng=rng, num_views=V,
+            rng=rng, num_views=V,
         )
     else:
         dec_out = decoder_forward(params["decoder"], cfg.decoder, fused,
@@ -248,8 +253,15 @@ def fast3r_forward(
                 res["conf_local"] = l["conf"]
         return res
 
-    if head_chunk_views is not None and V % head_chunk_views == 0 and V > head_chunk_views:
-        cv = head_chunk_views
+    if head_chunk_views is not None and V > 1:
+        # round the requested chunk down to the largest divisor of V so the
+        # memory cap is honored for any view count (the reference allows a
+        # ragged last chunk; static shapes require even chunks)
+        cv = max(d for d in range(1, min(head_chunk_views, V) + 1)
+                 if V % d == 0)
+        if cv == V:
+            head_chunk_views = None
+    if head_chunk_views is not None and V > 1:
         nchunks = V // cv
         # slice each chunk's tokens inside the map body — materializing a full
         # regrouped copy of every hook tensor would double HBM (at 1000 views

@@ -169,7 +169,6 @@ def llama_decoder_forward(
     cfg: LlamaDecoderConfig,
     feats: jnp.ndarray,
     image_ids: jnp.ndarray,
-    is_training: bool = False,
     rng: Optional[jax.Array] = None,
     num_views: Optional[int] = None,
 ) -> Dict[int, jnp.ndarray]:
@@ -181,8 +180,11 @@ def llama_decoder_forward(
     B, S, _ = feats.shape
     x = linear(params["decoder_embed"], feats)
 
-    if is_training and cfg.random_image_idx_embedding:
-        assert rng is not None and num_views is not None
+    # random ids whenever the flag is set — the reference has no eval gate
+    # (fast3r.py:938-945); fixed default key keeps inference deterministic
+    if cfg.random_image_idx_embedding and num_views is not None:
+        if rng is None:
+            rng = jax.random.key(0)
         vids = sample_random_image_ids(rng, B, num_views)      # (B, V)
         P = S // num_views
         rope_ids = jnp.repeat(vids, P, axis=1)                 # (B, S)

@@ -36,12 +36,10 @@ def reg_dense_conf(x: jnp.ndarray, mode=("exp", 1.0, float("inf"))):
     if name == "exp":
         return vmin + jnp.clip(jnp.exp(x), None, vmax - vmin)
     if name == "sigmoid":
-        return (vmax - vmin) * jax_sigmoid(x) + vmin
+        import jax
+
+        return (vmax - vmin) * jax.nn.sigmoid(x) + vmin
     raise ValueError(f"bad conf mode={name!r}")
-
-
-def jax_sigmoid(x):
-    return 1.0 / (1.0 + jnp.exp(-x))
 
 
 def postprocess(out: jnp.ndarray, depth_mode, conf_mode):

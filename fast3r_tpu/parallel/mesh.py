@@ -57,8 +57,10 @@ def param_pspec(path: Tuple[str, ...], shape: Tuple[int, ...], mesh: Mesh) -> P:
     if msize == 1:
         return P()
     names = set(path)
-    stacked = "blocks" in names
-    if "qkv" in names or "fc1" in names:
+    stacked = "blocks" in names or "layers" in names
+    column = {"qkv", "fc1", "wq", "wk", "wv", "w1", "w3"}
+    row = {"fc2", "wo", "w2"}
+    if names & column:
         if path[-1] == "w":
             dim = 2 if stacked else 1
             if _dim_divisible(shape, dim, msize):
@@ -67,7 +69,7 @@ def param_pspec(path: Tuple[str, ...], shape: Tuple[int, ...], mesh: Mesh) -> P:
             dim = 1 if stacked else 0
             if _dim_divisible(shape, dim, msize):
                 return P(*([None] * dim + ["model"]))
-    if ("proj" in names and "attn" in names) or "fc2" in names:
+    if ("proj" in names and "attn" in names) or (names & row):
         if path[-1] == "w":
             dim = 1 if stacked else 0
             if _dim_divisible(shape, dim, msize):
@@ -114,28 +116,55 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def zero_opt_state_shardings(tx, params, mesh: Mesh):
     """Explicit ZeRO-style optimizer-state shardings: every param-shaped
-    moment (adam mu/nu) is sharded over the "data" axis on its first
-    divisible dimension; scalars replicate.  The DeepSpeed stage-2 analog
-    used by the reference flagship run (configs/trainer/deepspeed_stage_2.yaml)
-    — optimizer memory scales 1/data_parallelism.
-
-    Use with `jax.jit(tx.init, out_shardings=...)(params)`.
+    moment (adam mu/nu) keeps the param's tensor-parallel spec and is
+    additionally sharded over the "data" axis on its first free divisible
+    dimension; scalar counters replicate.  The DeepSpeed stage-2 analog used
+    by the reference flagship run (configs/trainer/deepspeed_stage_2.yaml) —
+    optimizer memory scales 1/data_parallelism.
     """
     dsize = mesh.shape["data"]
+    pspecs = param_shardings(params, mesh)
+    params_treedef = jax.tree.structure(params)
     shapes = jax.eval_shape(tx.init, params)
 
-    def rule(leaf):
+    def merge(pshard, leaf):
+        spec = list(pshard.spec) + [None] * (len(leaf.shape)
+                                             - len(pshard.spec))
         for dim, size in enumerate(leaf.shape):
-            if size % dsize == 0 and size >= dsize:
-                return NamedSharding(
-                    mesh, P(*([None] * dim + ["data"]))
-                )
-        return NamedSharding(mesh, P())
+            if spec[dim] is None and size % dsize == 0 and size >= dsize:
+                spec[dim] = "data"
+                break
+        return NamedSharding(mesh, P(*spec))
 
-    return jax.tree.map(rule, shapes)
+    def walk(node):
+        try:
+            if jax.tree.structure(node) == params_treedef:
+                return jax.tree.map(merge, pspecs, node)
+        except (ValueError, TypeError):
+            pass
+        if hasattr(node, "_fields"):  # optax namedtuple states
+            return type(node)(*[walk(getattr(node, f)) for f in node._fields])
+        if isinstance(node, (tuple, list)):
+            return type(node)(walk(x) for x in node)
+        return NamedSharding(mesh, P())  # scalar counters
+
+    return walk(shapes)
 
 
 def zero_init_opt_state(tx, params, mesh: Mesh):
     """Initialize optimizer state with ZeRO sharding over the data axis."""
     shardings = zero_opt_state_shardings(tx, params, mesh)
     return jax.jit(tx.init, out_shardings=shardings)(params)
+
+
+def train_state_shardings(state, mesh: Mesh, tx=None):
+    """A TrainState-shaped sharding tree (params TP spec, ZeRO opt state,
+    replicated scalars) for pinning jit in/out shardings."""
+    from fast3r_tpu.train.step import TrainState, make_optimizer
+
+    return TrainState(
+        params=param_shardings(state.params, mesh),
+        opt_state=zero_opt_state_shardings(tx, state.params, mesh),
+        step=replicated(mesh),
+        rng=replicated(mesh),
+    )

@@ -130,13 +130,23 @@ def make_seq_sharded_forward(cfg, mesh: Mesh, num_views: int,
         feats, _ = encoder_forward(params["encoder"], cfg.encoder, flat)
         fused = feats.reshape(B, V_loc * Pq, -1)
 
-        # global view ids for this shard
+        # global view ids for this shard; when the model uses random image
+        # ids (reference has no eval gate, fast3r.py:785-790) every shard
+        # samples the SAME full-length permutation from a fixed key and
+        # slices its views, so ids stay globally consistent
+        dcfg = cfg.decoder
         my = jax.lax.axis_index(axis)
-        view_ids = my * V_loc + jnp.arange(V_loc, dtype=jnp.int32)
+        if getattr(dcfg, "random_image_idx_embedding", False):
+            from fast3r_tpu.models.decoder import sample_random_image_ids
+
+            all_ids = sample_random_image_ids(jax.random.key(0), 1,
+                                              num_views)[0]
+            view_ids = jax.lax.dynamic_slice_in_dim(all_ids, my * V_loc, V_loc)
+        else:
+            view_ids = my * V_loc + jnp.arange(V_loc, dtype=jnp.int32)
         image_ids = jnp.repeat(view_ids, Pq)[None]
 
         # decoder with ring attention
-        dcfg = cfg.decoder
         outputs = {0: fused}
         x = linear(params["decoder"]["decoder_embed"], fused)
         table = jnp.asarray(image_idx_table(dcfg.embed_dim), dtype=x.dtype)
@@ -160,18 +170,28 @@ def make_seq_sharded_forward(cfg, mesh: Mesh, num_views: int,
 
         def run_heads(tok):
             g = dpt_head_forward(params["head_global"], cfg.head, tok, (H, W))
-            res = {"pts3d_in_other_view": g["pts3d"], "conf": g["conf"]}
+            res = {"pts3d_in_other_view": g["pts3d"]}
+            if "conf" in g:
+                res["conf"] = g["conf"]
             if cfg.with_local_head:
                 l = dpt_head_forward(params["head_local"], cfg.head, tok, (H, W))
                 res["pts3d_local"] = l["pts3d"]
-                res["conf_local"] = l["conf"]
+                if "conf" in l:
+                    res["conf_local"] = l["conf"]
             return res
 
-        if head_chunk_views and V_loc % head_chunk_views == 0 \
-                and V_loc > head_chunk_views:
-            nch = V_loc // head_chunk_views
+        cv = None
+        if head_chunk_views and V_loc > 1:
+            # largest divisor of V_loc <= requested (static shapes need even
+            # chunks; memory cap honored for any view count)
+            cv = max(d for d in range(1, min(head_chunk_views, V_loc) + 1)
+                     if V_loc % d == 0)
+            if cv == V_loc:
+                cv = None
+        if cv is not None:
+            nch = V_loc // cv
             chunked = [
-                t.reshape(nch, head_chunk_views, Pq, -1) for t in tokens
+                t.reshape(nch, cv, Pq, -1) for t in tokens
             ]
             res = jax.lax.map(lambda ts: run_heads(list(ts)), tuple(chunked))
             res = {k: v.reshape((V_loc,) + v.shape[2:]) for k, v in res.items()}

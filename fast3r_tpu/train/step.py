@@ -91,6 +91,7 @@ def train_step(
     optim_cfg: OptimConfig,
     loss_cfg: LossConfig = LossConfig(),
     remat: bool = True,
+    mixed_orientation: bool = False,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One optimization step.
 
@@ -106,6 +107,7 @@ def train_step(
         preds = fast3r_forward(
             params, model_cfg, batch["imgs"], batch["true_shapes"],
             is_training=True, rng=step_rng, remat=remat,
+            mixed_orientation=mixed_orientation,
         )
         gts = {
             "pts3d": batch["pts3d"],
@@ -138,10 +140,24 @@ def train_step(
 
 def make_jitted_train_step(model_cfg: Fast3RConfig, optim_cfg: OptimConfig,
                            loss_cfg: LossConfig = LossConfig(),
-                           remat: bool = True):
-    """jit wrapper with donated state (in-place buffer reuse on TPU)."""
+                           remat: bool = True,
+                           mixed_orientation: bool = False,
+                           state_shardings=None):
+    """jit wrapper with donated state (in-place buffer reuse on TPU).
+
+    Args:
+      mixed_orientation: static flag — True when the batch contains portrait
+        samples (the host checks true_shapes before dispatch; see Trainer).
+      state_shardings: TrainState-shaped sharding tree — pins the output state
+        layout so ZeRO/TP shardings survive the update (without this GSPMD may
+        emit replicated optimizer moments and drop the memory savings).
+    """
 
     def fn(state, batch):
-        return train_step(state, batch, model_cfg, optim_cfg, loss_cfg, remat)
+        return train_step(state, batch, model_cfg, optim_cfg, loss_cfg, remat,
+                          mixed_orientation=mixed_orientation)
 
-    return jax.jit(fn, donate_argnums=(0,))
+    kwargs = {}
+    if state_shardings is not None:
+        kwargs["out_shardings"] = (state_shardings, None)
+    return jax.jit(fn, donate_argnums=(0,), **kwargs)

@@ -113,9 +113,23 @@ class Trainer:
             self.state = init_train_state(
                 params, optim_cfg, jax.random.key(self.cfg.seed + 1)
             )
-        self.step_fn = make_jitted_train_step(
-            model_cfg, optim_cfg, loss_cfg, remat=self.cfg.remat
-        )
+        # two jitted step variants: all-landscape fast path + mixed-orientation
+        # (portrait samples in batch get dual-orientation head passes —
+        # without this their head outputs would be spatially scrambled)
+        state_shardings = None
+        if self.mesh is not None:
+            from fast3r_tpu.parallel.mesh import train_state_shardings
+            from fast3r_tpu.train.step import make_optimizer
+
+            state_shardings = train_state_shardings(
+                self.state, self.mesh, make_optimizer(optim_cfg))
+        self._step_fns = {
+            mixed: make_jitted_train_step(
+                model_cfg, optim_cfg, loss_cfg, remat=self.cfg.remat,
+                mixed_orientation=mixed, state_shardings=state_shardings,
+            )
+            for mixed in (False, True)
+        }
         self._eval_fns: Dict[Any, Any] = {}
         self.epoch = 0
         self.total_samples = 0
@@ -184,7 +198,9 @@ class Trainer:
             t_epoch = time.time()
             for i, batch in enumerate(train_loader):
                 jb = self._device_batch(batch)
-                self.state, m = self.step_fn(self.state, jb)
+                ts = np.asarray(batch["true_shapes"])
+                mixed = bool((ts[..., 1] < ts[..., 0]).any())
+                self.state, m = self._step_fns[mixed](self.state, jb)
                 B, V = batch["imgs"].shape[:2]
                 self.total_samples += B
                 self.total_images += B * V
@@ -213,19 +229,21 @@ class Trainer:
                 self.save_checkpoint(f"epoch_{epoch:04d}")
 
     # ---- validation ------------------------------------------------------
-    def _val_loss_fn(self):
-        if "val_loss" not in self._eval_fns:
+    def _val_loss_fn(self, mixed: bool = False):
+        key = ("val_loss", mixed)
+        if key not in self._eval_fns:
             def fn(params, batch, rng):
                 preds = fast3r_forward(
                     params, self.model_cfg, batch["imgs"],
                     batch["true_shapes"], is_training=False,
+                    mixed_orientation=mixed,
                 )
                 gts = {k: batch[k] for k in
                        ("pts3d", "valid_mask", "camera_pose")}
                 loss, _ = conf_loss_multiview_v2(gts, preds, self.loss_cfg)
                 return loss, preds
-            self._eval_fns["val_loss"] = jax.jit(fn)
-        return self._eval_fns["val_loss"]
+            self._eval_fns[key] = jax.jit(fn)
+        return self._eval_fns[key]
 
     def validate(self, val_loaders: Dict[str, Any], epoch: int,
                  eval_pose: Optional[Dict[str, bool]] = None,
@@ -237,12 +255,13 @@ class Trainer:
         from fast3r_tpu.eval.recon import evaluate_reconstruction
 
         results: Dict[str, float] = {}
-        fn = self._val_loss_fn()
         for name, loader in val_loaders.items():
             losses: List[float] = []
             pose_ms, recon_ms = [], []
             for batch in loader:
                 jb = self._device_batch(batch)
+                ts = np.asarray(batch["true_shapes"])
+                fn = self._val_loss_fn(bool((ts[..., 1] < ts[..., 0]).any()))
                 loss, preds = fn(self.state.params, jb,
                                  jax.random.key(0))
                 losses.append(float(loss))

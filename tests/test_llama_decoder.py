@@ -106,6 +106,6 @@ def test_llama_decoder_gqa_and_training_ids():
         np.random.default_rng(1).standard_normal((B, V * P, DIM)), jnp.float32
     )
     ids = jnp.repeat(jnp.arange(V), P)[None].repeat(B, 0)
-    out = llama_decoder_forward(params, cfg, feats, ids, is_training=True,
+    out = llama_decoder_forward(params, cfg, feats, ids,
                                 rng=jax.random.key(2), num_views=V)
     assert np.isfinite(np.asarray(out[cfg.n_layers])).all()

@@ -40,7 +40,9 @@ def test_zero_opt_state_is_sharded_and_trains():
     total = sum(np.prod(l.shape) for l in mu_leaves)
     assert sharded_bytes < 0.6 * total, (sharded_bytes, total)  # ~1/4 for big leaves
 
-    # the train step runs with the ZeRO state
+    # the train step runs with the ZeRO state and PRESERVES its sharding
+    from fast3r_tpu.parallel.mesh import train_state_shardings
+
     state = TrainState(params=params, opt_state=opt_state,
                        step=jnp.zeros((), jnp.int32), rng=jax.random.key(1))
     batch_np = make_dummy_batch(4, 2, 48, 64, seed=0)
@@ -48,6 +50,12 @@ def test_zero_opt_state_is_sharded_and_trains():
     batch = {k: jax.device_put(jnp.asarray(batch_np[k]), bshard)
              for k in ("imgs", "true_shapes", "pts3d", "valid_mask",
                        "camera_pose")}
-    step = make_jitted_train_step(cfg, optim_cfg)
+    sshard = train_state_shardings(state, mesh, tx)
+    step = make_jitted_train_step(cfg, optim_cfg, state_shardings=sshard)
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+    post_specs = [
+        str(l.sharding.spec) for l in jax.tree.leaves(state.opt_state)
+        if hasattr(l, "sharding") and hasattr(l.sharding, "spec")
+    ]
+    assert any("data" in s_ for s_ in post_specs), post_specs
