@@ -23,3 +23,4 @@ from fast3r_tpu.data.datasets.eval_many_view_extra import (  # noqa: F401,E402
     BlendMVSEval,
     Scannetpp,
 )
+from fast3r_tpu.data.datasets.ase_multiview import ASE_Multiview  # noqa: F401,E402
