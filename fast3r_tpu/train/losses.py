@@ -28,6 +28,41 @@ import jax.numpy as jnp
 from fast3r_tpu.ops.geometry import geotrf, se3_inverse
 
 
+class WeightedLoss:
+    """Composable loss algebra (reference MultiLoss, losses.py:100-157):
+    ``0.5 * LossFn(a) + LossFn(b)`` builds a chain whose call returns
+    (weighted total, merged details).  Loss fns return (scalar, details)."""
+
+    def __init__(self, fn, alpha: float = 1.0, next_loss=None):
+        self.fn = fn
+        self.alpha = alpha
+        self.next_loss = next_loss
+
+    def __mul__(self, alpha):
+        return WeightedLoss(self.fn, self.alpha * alpha, self.next_loss)
+
+    __rmul__ = __mul__
+
+    def __add__(self, other):
+        if not isinstance(other, WeightedLoss):
+            other = WeightedLoss(other)
+        node = WeightedLoss(self.fn, self.alpha, self.next_loss)
+        cur = node
+        while cur.next_loss is not None:
+            cur = cur.next_loss
+        cur.next_loss = other
+        return node
+
+    def __call__(self, *args, **kwargs):
+        loss, details = self.fn(*args, **kwargs)
+        total = self.alpha * loss
+        if self.next_loss is not None:
+            l2, d2 = self.next_loss(*args, **kwargs)
+            total = total + l2
+            details = {**details, **d2}
+        return total, details
+
+
 @dataclasses.dataclass(frozen=True)
 class LossConfig:
     alpha: float = 0.2             # conf-loss regularizer (flagship config)

@@ -130,3 +130,24 @@ def test_loss_all_invalid_view_is_finite():
         cfg,
     )
     assert np.isfinite(float(loss))
+
+
+def test_weighted_loss_algebra():
+    """MultiLoss-style `a * L1 + L2` chains (reference losses.py:100-157)."""
+    import jax.numpy as jnp
+
+    from fast3r_tpu.train.losses import WeightedLoss
+
+    def l1(x):
+        return jnp.asarray(2.0) * x, {"l1": x}
+
+    def l2(x):
+        return jnp.asarray(3.0) * x, {"l2": x}
+
+    combo = 0.5 * WeightedLoss(l1) + WeightedLoss(l2)
+    total, details = combo(1.0)
+    assert float(total) == 0.5 * 2.0 + 3.0
+    assert set(details) == {"l1", "l2"}
+    combo2 = WeightedLoss(l1) + 2 * WeightedLoss(l2)
+    total2, _ = combo2(1.0)
+    assert float(total2) == 2.0 + 6.0
