@@ -37,12 +37,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-# Forward block sizes tuned on TPU v5e at S=15360, D=64 (see commit history):
-# (512,512) -> 11.5 TFLOP/s (grid overhead dominates), (1024,1024) -> 57.7,
-# larger blocks exceed VMEM.  Backward keeps more live buffers per program, so
-# it uses smaller blocks.
-MAX_BLOCK_Q = 1024
-MAX_BLOCK_KV = 1024
+# Forward block sizes tuned on TPU v5e at D=64 (see BENCHMARKS.md):
+# symmetric (512,512) -> 11.5 TFLOP/s (grid overhead), (1024,1024) -> 57.7 at
+# S=15360; ASYMMETRIC small-q/large-kv wins at long S ((512,1536) -> 69 vs 44
+# TFLOP/s at S=192000: fewer kv-loop iterations, larger DMAs) and is neutral
+# at short S.  Backward keeps more live buffers per program -> smaller blocks.
+MAX_BLOCK_Q = 512
+MAX_BLOCK_KV = 1536
 MAX_BLOCK_Q_BWD = 512
 MAX_BLOCK_KV_BWD = 512
 
