@@ -21,6 +21,7 @@ from fast3r_tpu.data.datasets.multiview import (  # noqa: F401
 from fast3r_tpu.data.datasets.eval_many_view_extra import (  # noqa: F401,E402
     ArkitScene,
     BlendMVSEval,
+    HabitatEval,
     Scannetpp,
 )
 from fast3r_tpu.data.datasets.ase_multiview import ASE_Multiview  # noqa: F401,E402

@@ -198,6 +198,56 @@ class ArkitScene(_EvalCommon):
 
 
 @register_dataset
+class HabitatEval(_EvalCommon):
+    """Habitat eval variant (reference spann3r_datasets/habitat.py: lowercase
+    `habitat`): ROOT/<category>/<scene>/<seq:08d>_<i>.jpeg + _depth.exr +
+    _camera_params.json, frames 1..num_frames per sequence, shuffled order."""
+
+    def _load_scenes(self):
+        cats = sorted(d for d in os.listdir(self.ROOT)
+                      if osp.isdir(osp.join(self.ROOT, d)))
+        self.scene_list = []
+        for cat in cats:
+            for scene in sorted(os.listdir(osp.join(self.ROOT, cat))):
+                self.scene_list.append((cat, scene))
+        if self.test_id is not None:
+            self.scene_list = [s for s in self.scene_list
+                               if s[1] == self.test_id]
+
+    def _get_views(self, idx, resolution, rng):
+        import cv2
+        import json as _json
+
+        cat, scene = self.scene_list[idx // self.num_seq]
+        seq_id = idx % self.num_seq
+        order = list(range(1, self.num_frames + 1))
+        rng.shuffle(order)
+
+        views = []
+        for i in order:
+            base = osp.join(self.ROOT, cat, scene, f"{seq_id:08}_{i}")
+            if not osp.exists(base + ".jpeg"):
+                continue
+            rgb = imread_cv2(base + ".jpeg")
+            depth = imread_cv2(base + "_depth.exr", cv2.IMREAD_UNCHANGED)
+            cam = _json.load(open(base + "_camera_params.json"))
+            K = np.array(cam["camera_intrinsics"], np.float32)
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, :3] = np.array(cam["R_cam2world"], np.float32)
+            pose[:3, 3] = np.array(cam["t_cam2world"], np.float32)
+            rgb, depthmap, Ki = self._crop_resize_if_necessary(
+                rgb, depth, K, resolution, rng=rng, info=base)
+            if (depthmap > 0).sum() == 0 or not np.isfinite(pose).all():
+                continue
+            views.append(dict(
+                img=rgb, depthmap=depthmap, camera_pose=pose,
+                camera_intrinsics=Ki, dataset="habitat",
+                label=osp.join(cat, scene), instance=f"{seq_id:08}_{i}",
+            ))
+        return views
+
+
+@register_dataset
 class BlendMVSEval(_EvalCommon):
     """BlendedMVS eval (reference spann3r blendedmvs.py; named BlendMVSEval
     here because the training loader already claims BlendMVS in the DSL)."""
