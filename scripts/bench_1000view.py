@@ -32,6 +32,9 @@ def main():
                          "executions over ~2 minutes)")
     ap.add_argument("--decoder-segment", type=int, default=6,
                     help="layers per decoder dispatch in --staged mode")
+    ap.add_argument("--encoder-chunk", type=int, default=500,
+                    help="images per encoder dispatch in --staged mode "
+                         "(the reference's encoder chunk, fast3r.py:250)")
     args = ap.parse_args()
     if args.staged:
         return main_staged(args)
@@ -115,10 +118,13 @@ def main_staged(args):
         np.random.default_rng(0).standard_normal((V, H, W, 3)), jnp.bfloat16
     )
 
+    ec = max(d for d in range(1, min(args.encoder_chunk, V) + 1)
+             if V % d == 0)
+
     @jax.jit
     def encode(p, x):
         feats, _ = encoder_forward(p["encoder"], cfg.encoder, x)
-        return feats.reshape(1, V * P, -1)
+        return feats.reshape(1, -1, feats.shape[-1])
 
     @jax.jit
     def embed(p, fused):
@@ -155,7 +161,9 @@ def main_staged(args):
 
     def full_pass():
         t0 = time.perf_counter()
-        fused = sync(encode(params, imgs))
+        chunks = [sync(encode(params, imgs[i:i + ec]))
+                  for i in range(0, V, ec)]
+        fused = jnp.concatenate(chunks, axis=1)
         x = sync(embed(params, fused))
         hooks = {0: fused}
         pos = 0
