@@ -39,7 +39,7 @@ def main(argv=None):
         parse_override,
         set_dotted,
     )
-    from fast3r_tpu.data.loader import get_data_loader
+    from fast3r_tpu.data.datamodule import MultiViewDataModule
     from fast3r_tpu.train.step import OptimConfig
     from fast3r_tpu.train.trainer import Trainer, TrainerConfig
     from fast3r_tpu.utils.checkpoint_utils import load_model
@@ -72,16 +72,16 @@ def main(argv=None):
     )
 
     data_cfg = cfg.get("data", {})
-    bs = data_cfg.get("batch_size_per_device", 1) * jax.device_count()
-    val_loaders, pose_flags, recon_flags = {}, {}, {}
-    for i, expr in enumerate(data_cfg.get("validation_datasets", [])):
-        name = f"dataset_{i}"
-        vl = get_data_loader(expr, batch_size=bs, num_workers=0)
-        if hasattr(vl.dataset, "set_epoch"):
-            vl.dataset.set_epoch(0)
-        if vl.sampler is not None:
-            vl.sampler.set_epoch(0)
-        val_loaders[name] = vl
+    val_exprs = data_cfg.get("validation_datasets", [])
+    dm = MultiViewDataModule(
+        validation_datasets=val_exprs,
+        batch_size_per_device=(data_cfg.get("batch_size_per_device", 1)
+                               * jax.device_count()),
+        num_workers_val=data_cfg.get("num_workers_val", 0),
+    )
+    val_loaders = dm.val_dataloaders()
+    pose_flags, recon_flags = {}, {}
+    for name, expr in zip(val_loaders, val_exprs):
         # reference dispatch: Co3D -> pose eval; DTU/7scenes/NRGBD -> recon
         pose_flags[name] = args.eval_pose or "Co3d" in expr
         recon_flags[name] = args.eval_recon or any(

@@ -24,7 +24,8 @@ def main(argv=None):
     ap.add_argument("images", help="image folder, list, or video file")
     ap.add_argument("--out", default="recon_out")
     ap.add_argument("--checkpoint", default=None,
-                    help="HF-format checkpoint dir; random weights if omitted")
+                    help="HF-format checkpoint dir/repo or a fast3r_tpu run "
+                         "dir; random weights if omitted")
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--backend", default="cv2", choices=["cv2", "jax"])
     ap.add_argument("--conf-percentile", type=float, default=10.0)
@@ -50,7 +51,11 @@ def main(argv=None):
     views = load_images(src, size=args.size)
 
     if args.checkpoint:
-        model = Fast3R.from_pretrained(args.checkpoint)
+        # load_model handles both run dirs (config.yaml + orbax checkpoint)
+        # and HF-format dirs/repos
+        from fast3r_tpu.utils.checkpoint_utils import load_model
+
+        model = load_model(args.checkpoint)
     else:
         print("WARNING: no checkpoint given; using random weights (smoke run)")
         model = Fast3R.from_random(Fast3RConfig.tiny())

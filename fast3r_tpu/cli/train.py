@@ -22,11 +22,22 @@ def main(argv=None):
     parser.add_argument("--experiment", default=None)
     parser.add_argument("--resume", action="store_true", default=True)
     parser.add_argument("--no-resume", dest="resume", action="store_false")
+    parser.add_argument("--distributed", action="store_true",
+                        default=os.environ.get("FAST3R_TPU_DISTRIBUTED") == "1",
+                        help="call jax.distributed.initialize() for multi-host "
+                             "pods (auto-discovers the coordinator on TPU; "
+                             "also enabled via FAST3R_TPU_DISTRIBUTED=1)")
     parser.add_argument("overrides", nargs="*",
                         help="dotted config overrides: a.b.c=value")
     args = parser.parse_args(argv)
 
     import jax
+
+    if args.distributed:
+        # multi-host SPMD: every host must join the same coordination
+        # service before any device op (reference launches via Lightning's
+        # DDP spawn; on TPU pods this single call replaces it)
+        jax.distributed.initialize()
 
     from fast3r_tpu.config import (
         load_config,
@@ -35,7 +46,7 @@ def main(argv=None):
         optim_config_from_dict,
         save_config,
     )
-    from fast3r_tpu.data.loader import get_data_loader
+    from fast3r_tpu.data.datamodule import MultiViewDataModule
     from fast3r_tpu.train.trainer import Trainer, TrainerConfig
     from fast3r_tpu.utils.logging import RankedLogger
 
@@ -63,23 +74,18 @@ def main(argv=None):
     )
 
     data_cfg = cfg.get("data", {})
-    bs = data_cfg.get("batch_size_per_device", 1) * jax.device_count()
-    train_expr = " + ".join(data_cfg.get("train_datasets", []))
-    train_loader = get_data_loader(
-        train_expr, batch_size=bs,
+    bs = (data_cfg.get("batch_size_per_device", 1)
+          * jax.local_device_count())
+    dm = MultiViewDataModule(
+        train_datasets=data_cfg.get("train_datasets", []),
+        validation_datasets=data_cfg.get("validation_datasets", []),
+        batch_size_per_device=bs,
         num_workers=data_cfg.get("num_workers", 4),
+        num_workers_val=data_cfg.get("num_workers_val", 0),
         world_size=jax.process_count(), rank=jax.process_index(),
     )
-    val_loaders = {}
-    for i, expr in enumerate(data_cfg.get("validation_datasets", [])):
-        vl = get_data_loader(expr, batch_size=bs, num_workers=0,
-                             world_size=jax.process_count(),
-                             rank=jax.process_index())
-        if hasattr(vl.dataset, "set_epoch"):
-            vl.dataset.set_epoch(0)
-        if vl.sampler is not None:
-            vl.sampler.set_epoch(0)
-        val_loaders[f"dataset_{i}"] = vl
+    train_loader = dm.train_dataloader()
+    val_loaders = dm.val_dataloaders()
 
     trainer = Trainer(model_cfg, optim_cfg, loss_cfg, trainer_cfg)
     trainer.install_signal_handlers()

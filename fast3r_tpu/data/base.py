@@ -50,7 +50,12 @@ class EasyDataset:
     def make_sampler(self, batch_size, shuffle=True, world_size=1, rank=0,
                      drop_last=True):
         if not shuffle:
-            raise NotImplementedError()
+            # validation loaders: deterministic sequential order (the
+            # reference uses torch's SequentialSampler there)
+            return SequentialBatchedSampler(
+                self, batch_size, len(self._resolutions),
+                world_size=world_size, rank=rank, drop_last=drop_last,
+            )
         return BatchedRandomSampler(
             self, batch_size, len(self._resolutions),
             world_size=world_size, rank=rank, drop_last=drop_last,
@@ -223,6 +228,40 @@ class BatchedRandomSampler:
         yield from (tuple(int(v) for v in idx) for idx in idxs)
 
 
+class SequentialBatchedSampler:
+    """Deterministic in-order sampler for validation: yields (sample_idx,
+    ar_idx) with one aspect-ratio per batch (cycled round-robin so every
+    resolution is exercised), rank-sliced by contiguous stripes.  Matches
+    the reference's shuffle=False torch SequentialSampler behavior while
+    staying compatible with multi-resolution datasets."""
+
+    def __init__(self, dataset, batch_size, pool_size, world_size=1, rank=0,
+                 drop_last=True):
+        self.batch_size = batch_size
+        self.pool_size = pool_size
+        self.len_dataset = N = len(dataset)
+        self.total_size = _round_by(N, batch_size * world_size) if drop_last else N
+        assert world_size == 1 or drop_last, (
+            "must drop the last batch in distributed mode"
+        )
+        self.world_size = world_size
+        self.rank = rank
+
+    def __len__(self):
+        return self.total_size // self.world_size
+
+    def set_epoch(self, epoch):
+        pass  # order is epoch-independent by design
+
+    def __iter__(self):
+        per_rank = len(self)
+        start = self.rank * per_rank
+        for i in range(start, start + per_rank):
+            idx = i % self.len_dataset  # wrap the round-up padding
+            ar_idx = (i // self.batch_size) % self.pool_size
+            yield (idx, ar_idx)
+
+
 # ---------------------------------------------------------------------------
 # base view dataset
 # ---------------------------------------------------------------------------
@@ -272,6 +311,12 @@ class BaseViewDataset(EasyDataset):
         self.num_views = num_views
         self.split = split
         self._set_resolutions(resolution)
+        if isinstance(transform, str):
+            # DSL configs pass names, e.g. transform=ColorJitter (the
+            # reference eval()s them, base_stereo_view_dataset.py:48-49)
+            from fast3r_tpu.data.transforms import resolve_transform
+
+            transform = resolve_transform(transform)
         self.transform = transform
         self.aug_crop = aug_crop
         self.seed = seed
@@ -315,6 +360,10 @@ class BaseViewDataset(EasyDataset):
             view["idx"] = (idx, ar_idx, v)
             width, height = view["img"].size
             view["true_shape"] = np.int32((height, width))
+            if hasattr(self.transform, "set_rng"):
+                # stochastic transforms (ColorJitter) draw from the per-item
+                # rng so seeded datasets stay deterministic
+                self.transform.set_rng(self._rng)
             view["img"] = self.transform(view["img"]).astype(np.float32)
 
             assert "camera_intrinsics" in view

@@ -51,11 +51,9 @@ class MultiViewDataModule:
             bs = 1 if any(d in expr for d in FORCED_BS1) else self.batch_size
             vl = get_data_loader(
                 expr, batch_size=bs, num_workers=self.num_workers_val,
+                shuffle=False, drop_last=self.world_size > 1,
                 world_size=self.world_size, rank=self.rank,
             )
-            if hasattr(vl.dataset, "set_epoch"):
-                vl.dataset.set_epoch(0)
-            if vl.sampler is not None:
-                vl.sampler.set_epoch(0)
+            vl.set_epoch(0)
             out[f"dataset_{i}"] = vl
         return out

@@ -12,7 +12,7 @@ from fast3r_tpu.data.datasets.eval_many_view import (  # noqa: F401
 )
 from fast3r_tpu.data.datasets.multiview import (  # noqa: F401
     ARKitScenes_Multiview,
-    BlendMVS,
+    BlendedMVS_Multiview,
     Co3d_Multiview,
     Habitat_Multiview,
     MegaDepth_Multiview,
@@ -20,8 +20,10 @@ from fast3r_tpu.data.datasets.multiview import (  # noqa: F401
 )
 from fast3r_tpu.data.datasets.eval_many_view_extra import (  # noqa: F401,E402
     ArkitScene,
-    BlendMVSEval,
+    BlendMVS,
     HabitatEval,
     Scannetpp,
 )
+
+BlendMVSEval = BlendMVS  # backward-compat alias (same class in the DSL)
 from fast3r_tpu.data.datasets.ase_multiview import ASE_Multiview  # noqa: F401,E402

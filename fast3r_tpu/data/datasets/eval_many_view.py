@@ -28,11 +28,16 @@ class BaseManyViewDataset(BaseViewDataset):
     train_ratio: float = 1.0
 
     def sample_frames(self, img_idxs, rng) -> List:
-        """Stride-constrained sampling (base_many_view_dataset.py:15-47)."""
+        """Stride-constrained sampling (base_many_view_dataset.py:15-47).
+
+        The reference recurses unboundedly on a failed draw; we bound the
+        retries and fall back to evenly-spaced frames (always valid) so a
+        pathological sequence cannot hang the loader."""
         num_frames = self.num_frames
         thresh = int(self.min_thresh
                      + self.train_ratio * (self.max_thresh - self.min_thresh))
         n = len(img_idxs)
+        selected: List[int] = []
         for _ in range(32):  # bounded retry instead of unbounded recursion
             selected = []
             initial_range = max(n // num_frames, n - thresh * (num_frames - 1))
@@ -50,6 +55,10 @@ class BaseManyViewDataset(BaseViewDataset):
                 selected.append(current)
             if ok:
                 break
+        if len(selected) < num_frames:
+            # deterministic fallback: evenly spaced over the sequence
+            selected = list(np.linspace(0, n - 1, num_frames).round()
+                            .astype(int))
         ids = [img_idxs[i] for i in selected]
         if rng.choice([True, False]):
             ids.reverse()
@@ -304,8 +313,12 @@ class Co3d(BaseManyViewDataset):
         mask_bg = self.mask_bg is True or (
             self.mask_bg == "rand" and rng.choice(2))
 
+        from collections import deque
+
         views = []
-        for im_idx in imgs_idxs:
+        imgs_idxs = deque(imgs_idxs)
+        while imgs_idxs:
+            im_idx = imgs_idxs.popleft()
             if inval[im_idx]:  # walk to a nearby valid frame
                 direction = 2 * int(rng.choice(2)) - 1
                 for off in range(1, len(pool)):
@@ -332,7 +345,10 @@ class Co3d(BaseManyViewDataset):
             rgb, depth, K = self._crop_resize_if_necessary(
                 rgb, depth, K, resolution, rng=rng, info=impath)
             if (depth > 0.0).sum() == 0:
+                # invalidate and retry the slot so the view count stays
+                # fixed (reference co3d.py:152-157: appendleft + walk)
                 inval[im_idx] = True
+                imgs_idxs.appendleft(im_idx)
                 continue
             views.append(dict(
                 img=rgb, depthmap=depth, camera_pose=pose,
@@ -372,7 +388,7 @@ class Scannet(BaseManyViewDataset):
     def __len__(self):
         return len(self.scene_list) * self.num_seq
 
-    def _get_views(self, idx, resolution, rng):
+    def _get_views(self, idx, resolution, rng, attempts=0):
         import cv2
 
         scene_id = self.scene_list[idx // self.num_seq]
@@ -392,10 +408,18 @@ class Scannet(BaseManyViewDataset):
             rgb = cv2.resize(rgb, (depth.shape[1], depth.shape[0]))
             depth = np.nan_to_num(depth.astype(np.float32)) / 1000.0
             pose = np.loadtxt(base + ".pose.txt").astype(np.float32)
-            if (depth > 0).sum() == 0 or not np.isfinite(pose).all():
-                continue  # skip invalid frames (reference scannet.py:60-66)
             rgb, depthmap, K = self._crop_resize_if_necessary(
                 rgb, depth, K0.copy(), resolution, rng=rng, info=base)
+            if (depthmap > 0).sum() == 0 or not np.isfinite(pose).all():
+                # reference scannet.py:103-110: in full_video mode skip the
+                # frame; otherwise retry the item (5 attempts) then resample
+                # a fresh random index — never return a short view list
+                if self.full_video:
+                    continue
+                if attempts >= 5:
+                    new_idx = int(rng.integers(0, len(self) - 1))
+                    return self._get_views(new_idx, resolution, rng)
+                return self._get_views(idx, resolution, rng, attempts + 1)
             views.append(dict(
                 img=rgb, depthmap=depthmap, camera_pose=pose,
                 camera_intrinsics=K, dataset="scannet",

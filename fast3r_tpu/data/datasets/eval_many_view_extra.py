@@ -248,9 +248,14 @@ class HabitatEval(_EvalCommon):
 
 
 @register_dataset
-class BlendMVSEval(_EvalCommon):
-    """BlendedMVS eval (reference spann3r blendedmvs.py; named BlendMVSEval
-    here because the training loader already claims BlendMVS in the DSL)."""
+@register_dataset(name="BlendMVSEval")  # backward-compat alias
+class BlendMVS(_EvalCommon):
+    """BlendedMVS loader (reference spann3r blendedmvs.py:17-240) — the
+    class the reference training configs use as `BlendMVS(...)` in the DSL
+    (configs/experiment/super_long_training/super_long_training.yaml:39):
+    raw layout ROOT/scene/{blended_images,rendered_depth_maps,cams} with
+    MVSNet cam txts and BFS neighbor sampling over cams/pair.txt scores.
+    The dust3r-processed flat layout lives in BlendedMVS_Multiview."""
 
     def _load_scenes(self):
         if self.test_id is None:
@@ -301,7 +306,7 @@ class BlendMVSEval(_EvalCommon):
                 return [f"{i:08d}.jpg" for i in cand[: self.num_frames]]
         return None
 
-    def _get_views(self, idx, resolution, rng):
+    def _get_views(self, idx, resolution, rng, attempts=0):
         import cv2
 
         scene_id = self.scene_list[idx // self.num_seq]
@@ -311,7 +316,9 @@ class BlendMVSEval(_EvalCommon):
             img_idxs = self.sample_pairs(osp.join(base, "cams", "pair.txt"),
                                          rng)
             if img_idxs is None:
-                img_idxs = sorted(os.listdir(image_path))[: self.num_frames]
+                # reference blendedmvs.py:170-172: resample a random item
+                new_idx = int(rng.integers(0, len(self) - 1))
+                return self._get_views(new_idx, resolution, rng)
         else:
             img_idxs = self.sample_frame_idx(
                 sorted(os.listdir(image_path)), rng, full_video=True)
@@ -331,11 +338,21 @@ class BlendMVSEval(_EvalCommon):
             H, W = rgb.shape[:2]
             cx, cy = K[:2, 2].round().astype(int)
             if min(cx, W - cx) <= W / 5 or min(cy, H - cy) <= H / 5:
-                continue  # bad principal point (reference skips via resample)
+                # bad principal point: resample a fresh random item
+                # (reference blendedmvs.py:207-209)
+                new_idx = int(rng.integers(0, len(self) - 1))
+                return self._get_views(new_idx, resolution, rng)
             rgb, depthmap, Ki = self._crop_resize_if_necessary(
                 rgb, depth, K, resolution, rng=rng, info=impath)
             if (depthmap > 0).sum() == 0 or not np.isfinite(pose).all():
-                continue
+                # retry-or-resample (reference blendedmvs.py:224-231):
+                # never return a short view list outside full_video
+                if self.full_video:
+                    continue
+                if attempts >= 5:
+                    new_idx = int(rng.integers(0, len(self) - 1))
+                    return self._get_views(new_idx, resolution, rng)
+                return self._get_views(idx, resolution, rng, attempts + 1)
             views.append(dict(
                 img=rgb, depthmap=depthmap, camera_pose=pose,
                 camera_intrinsics=Ki, dataset="blendmvs",

@@ -417,6 +417,7 @@ class Habitat_Multiview(BaseViewDataset):
 
         views = []
         for view_index in selected:
+            found = None
             for ii in range(view_index, view_index + 5):
                 try:
                     image, depth, K, pose = self._load_one_view(
@@ -424,7 +425,14 @@ class Habitat_Multiview(BaseViewDataset):
                 except FileNotFoundError:
                     continue
                 if np.isfinite(pose).all():
+                    found = view_index
                     break
+            if found is None:
+                # all 5 candidates missing/invalid: fail loudly instead of
+                # reusing stale (or unbound) image/pose from a prior view
+                raise RuntimeError(
+                    f"Habitat scene {key!r} under {data_path} has no loadable "
+                    f"view near index {view_index}")
             views.append(dict(
                 img=image, depthmap=depth, camera_pose=pose,
                 camera_intrinsics=K, dataset="Habitat",
@@ -459,29 +467,39 @@ class Habitat_Multiview(BaseViewDataset):
 
 
 @register_dataset
-class BlendMVS(BaseViewDataset):
-    """BlendedMVS (reference blendedmvs_multiview.py): scene/image pools from
-    blendedmvs_pairs.npy; per-image pfm/exr depth + txt cams via npz sidecars."""
+class BlendedMVS_Multiview(BaseViewDataset):
+    """BlendedMVS multiview training loader (reference
+    dust3r/datasets/blendedmvs_multiview.py:14-111): blendedmvs_pairs.npy is
+    a STRUCTURED array with fields (seq_high, seq_low, img1, img2, score);
+    scene dirs are the 24-hex-char f"{seqh:08x}{seql:016x}"; per-image flat
+    files <idx>.jpg/.exr/.npz with {intrinsics, R_cam2world, t_cam2world};
+    train/val split by seq_low % 10.
 
-    def __init__(self, num_frames=4, num_seq=100, window_size=20,
-                 num_samples_per_window=10, ordered=False, *args, ROOT,
-                 split=None, **kwargs):
-        super().__init__(num_views=num_frames, split=split, *args, **kwargs)
+    NOTE: the training configs' `BlendMVS` is the *spann3r* loader
+    (blended_images/ + cams/pair.txt layout) in eval_many_view_extra.py —
+    this class covers the dust3r-processed flat layout."""
+
+    def __init__(self, num_views=4, num_samples_per_window=10, window_size=6,
+                 ordered=False, *args, ROOT, split=None, **kwargs):
+        super().__init__(num_views=num_views, split=split, *args, **kwargs)
         self.ROOT = ROOT
         pairs = np.load(osp.join(ROOT, "blendedmvs_pairs.npy"))
-        # train/val split by sequence hash parity (reference selects by split)
-        if split is not None:
-            sel = (pairs[:, 0].astype(np.int64) % 10 > 0) \
-                if split == "train" else (pairs[:, 0].astype(np.int64) % 10 == 0)
-            pairs = pairs[sel]
-        self.scene_to_indices: Dict[int, List[int]] = {}
-        for seqh, seql, img1, img2, score in pairs[: num_seq * 10000]:
-            scene_id = int(seqh)
-            d = self.scene_to_indices.setdefault(scene_id, [])
+        if pairs.dtype.names:  # structured array (the shipped format)
+            seq_low = np.asarray(pairs[pairs.dtype.names[1]])
+        else:  # plain 2D fallback
+            seq_low = np.asarray(pairs[:, 1])
+        if split == "train":
+            pairs = pairs[seq_low.astype(np.int64) % 10 > 0]
+        elif split == "val":
+            pairs = pairs[seq_low.astype(np.int64) % 10 == 0]
+
+        scene_to_indices: Dict[str, List[int]] = {}
+        for seqh, seql, img1, img2, score in (tuple(r) for r in pairs):
+            scene_id = f"{int(seqh):08x}{int(seql):016x}"
+            d = scene_to_indices.setdefault(scene_id, [])
             d.extend([int(img1), int(img2)])
         self.scene_to_indices = {
-            k: sorted(set(v)) for k, v in
-            list(self.scene_to_indices.items())[:num_seq]
+            k: sorted(set(v)) for k, v in scene_to_indices.items()
         }
 
         combo_rng = np.random.default_rng(1234)
@@ -497,28 +515,23 @@ class BlendMVS(BaseViewDataset):
         return len(self.combinations)
 
     def _get_views(self, idx, resolution, rng):
-        import cv2
-
         scene_id, combo = self.combinations[idx]
-        seq = f"{scene_id:08x}"
+        seq_path = osp.join(self.ROOT, scene_id)
         views = []
         for im_id in combo:
-            impath = osp.join(self.ROOT, seq, "blended_images",
-                              f"{im_id:08d}.jpg")
-            image = imread_cv2(impath)
-            depth = imread_cv2(
-                osp.join(self.ROOT, seq, "rendered_depth_maps",
-                         f"{im_id:08d}.exr"), cv2.IMREAD_ANYDEPTH)
-            cam = np.load(osp.join(self.ROOT, seq, "cams",
-                                   f"{im_id:08d}.npz"))
+            name = f"{im_id:08d}"
+            image = imread_cv2(osp.join(seq_path, name + ".jpg"))
+            depth = imread_cv2(osp.join(seq_path, name + ".exr"))
+            cam = np.load(osp.join(seq_path, name + ".npz"))
             K = np.float32(cam["intrinsics"])
-            pose = np.float32(cam["cam2world"]) if "cam2world" in cam else \
-                np.linalg.inv(np.float32(cam["extrinsics"]))
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, :3] = cam["R_cam2world"]
+            pose[:3, 3] = cam["t_cam2world"]
             image, depth, K = self._crop_resize_if_necessary(
-                image, depth, K, resolution, rng, info=impath)
+                image, depth, K, resolution, rng, info=(seq_path, name))
             views.append(dict(
                 img=image, depthmap=depth, camera_pose=pose,
                 camera_intrinsics=K, dataset="BlendedMVS",
-                label=seq, instance=f"{im_id:08d}",
+                label=scene_id, instance=name,
             ))
         return views

@@ -60,6 +60,11 @@ def _build(node: ast.AST):
 
 
 def _literal(node: ast.AST) -> Any:
+    if isinstance(node, ast.Name):
+        # bare identifiers (the reference writes transform=ColorJitter and
+        # eval()s it) become their name string; the dataset resolves it
+        # against a registry — no code execution
+        return node.id
     try:
         return ast.literal_eval(node)
     except (ValueError, SyntaxError) as e:

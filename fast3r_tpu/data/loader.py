@@ -49,12 +49,22 @@ def collate_views(samples: Sequence[Sequence[Dict]]) -> Dict[str, Any]:
     return out
 
 
+_WORKER_EPOCH = None
+
+
 def _init_worker(dataset):
     global _WORKER_DATASET
     _WORKER_DATASET = dataset
 
 
-def _load_batch(idxs: List):
+def _load_batch(epoch: Optional[int], idxs: List):
+    # propagate the epoch into the worker's dataset copy: ResizedDataset's
+    # index permutation is epoch-seeded, so a stale epoch would silently
+    # replay epoch-0 data every epoch
+    global _WORKER_EPOCH
+    if epoch is not None and epoch != _WORKER_EPOCH:
+        _WORKER_DATASET.set_epoch(epoch)
+        _WORKER_EPOCH = epoch
     return [_WORKER_DATASET[i] for i in idxs]
 
 
@@ -76,6 +86,16 @@ class DataLoader:
         self.prefetch = max(prefetch, 1)
         self.drop_last = drop_last
         self._pool: Optional[ProcessPoolExecutor] = None
+        self._epoch: Optional[int] = None
+
+    def set_epoch(self, epoch: int):
+        """Seed the sampler + dataset (and, lazily, each worker's dataset
+        copy) for `epoch`.  Call before iterating each epoch."""
+        self._epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+        if self.sampler is not None and hasattr(self.sampler, "set_epoch"):
+            self.sampler.set_epoch(epoch)
 
     def __len__(self):
         n = len(self.sampler) if self.sampler is not None else len(self.dataset)
@@ -98,6 +118,8 @@ class DataLoader:
                 yield self.collate_fn([self.dataset[i] for i in idxs])
             return
 
+        epoch = self._epoch
+
         if self._pool is None:
             import multiprocessing as mp
 
@@ -114,10 +136,10 @@ class DataLoader:
         inflight = []
         try:
             for idxs in itertools.islice(batches, self.prefetch):
-                inflight.append(self._pool.submit(_load_batch, idxs))
+                inflight.append(self._pool.submit(_load_batch, epoch, idxs))
             for idxs in batches:
                 done = inflight.pop(0)
-                inflight.append(self._pool.submit(_load_batch, idxs))
+                inflight.append(self._pool.submit(_load_batch, epoch, idxs))
                 yield self.collate_fn(done.result())
             for fut in inflight:
                 yield self.collate_fn(fut.result())
@@ -146,9 +168,9 @@ def get_data_loader(
 
         dataset = build_dataset(dataset)
     sampler = None
-    if shuffle and hasattr(dataset, "make_sampler"):
+    if hasattr(dataset, "make_sampler"):
         sampler = dataset.make_sampler(
-            batch_size, shuffle=True, world_size=world_size, rank=rank,
+            batch_size, shuffle=shuffle, world_size=world_size, rank=rank,
             drop_last=drop_last,
         )
     return DataLoader(dataset, batch_size, sampler=sampler,

@@ -190,10 +190,15 @@ class Trainer:
         start_epoch = self.epoch
         for epoch in range(start_epoch, self.cfg.max_epochs):
             self.epoch = epoch
-            if hasattr(train_loader.dataset, "set_epoch"):
-                train_loader.dataset.set_epoch(epoch)
-            if train_loader.sampler is not None:
-                train_loader.sampler.set_epoch(epoch)
+            if hasattr(train_loader, "set_epoch"):
+                # DataLoader.set_epoch also forwards the epoch into worker
+                # processes (their dataset copies re-seed lazily per batch)
+                train_loader.set_epoch(epoch)
+            else:
+                if hasattr(train_loader.dataset, "set_epoch"):
+                    train_loader.dataset.set_epoch(epoch)
+                if getattr(train_loader, "sampler", None) is not None:
+                    train_loader.sampler.set_epoch(epoch)
 
             t_epoch = time.time()
             for i, batch in enumerate(train_loader):

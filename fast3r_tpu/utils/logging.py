@@ -53,6 +53,12 @@ class MetricLogger:
         self.csv_path = csv_path
         os.makedirs(os.path.dirname(csv_path) or ".", exist_ok=True)
         self._fieldnames = None
+        if os.path.exists(csv_path):
+            # resume: adopt the existing header so prior rows are preserved
+            with open(csv_path, newline="") as f:
+                header = next(csv.reader(f), None)
+            if header:
+                self._fieldnames = list(header)
         self._wandb = None
         if use_wandb:
             try:
@@ -78,7 +84,7 @@ class MetricLogger:
 
     def _rewrite_with_fields(self, metrics: Dict) -> None:
         old_rows = []
-        if self._fieldnames and os.path.exists(self.csv_path):
+        if os.path.exists(self.csv_path):
             with open(self.csv_path) as f:
                 old_rows = list(csv.DictReader(f))
         fields = list(self._fieldnames or [])

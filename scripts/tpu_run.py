@@ -5,7 +5,8 @@ with SIGUSR1@120 + Lightning auto_requeue, SURVEY.md §5.3): on TPU pods each
 host runs the same command; jax.distributed.initialize() picks coordinates
 from the TPU metadata.  This wrapper:
 
-  * initializes jax.distributed (multi-host) when TPU pod env vars exist;
+  * enables multi-host jax.distributed.initialize() in the child trainer
+    (FAST3R_TPU_DISTRIBUTED=1) when TPU pod env vars exist;
   * runs the training CLI, forwarding SIGTERM so the trainer checkpoints;
   * restarts (requeues) the run up to --max-restarts times on nonzero exit,
     resuming from the last checkpoint — the elastic-recovery loop.
@@ -35,6 +36,12 @@ def main():
 
     cmd = [sys.executable, "-m", "fast3r_tpu.cli.train"] + train_args
     env = os.environ.copy()
+    # TPU pod slices expose worker metadata; tell the trainer to join the
+    # jax.distributed coordination service (it must happen in the child,
+    # before its first device op)
+    if any(k in env for k in ("TPU_WORKER_ID", "CLOUD_TPU_TASK_ID",
+                              "MEGASCALE_COORDINATOR_ADDRESS")):
+        env.setdefault("FAST3R_TPU_DISTRIBUTED", "1")
 
     for attempt in range(args.max_restarts + 1):
         print(f"[tpu_run] attempt {attempt}: {' '.join(cmd)}", flush=True)

@@ -217,3 +217,124 @@ def test_dtu_loader(dtu_root):
     assert views[0]["valid_mask"].any()
     # c2w pose round trip: pose stored as inv(extrinsic)
     np.testing.assert_allclose(views[-1]["camera_pose"], _pose(0), atol=1e-5)
+
+
+@pytest.fixture
+def blendmvs_root(tmp_path):
+    """spann3r raw BlendedMVS layout: ROOT/scene/{blended_images,
+    rendered_depth_maps,cams} + {split}_list.txt."""
+    rng = np.random.default_rng(3)
+    root = tmp_path / "blendmvs"
+    scene = "5a0271884e62597cdee0d0eb"
+    base = root / scene
+    n = 6
+    for i in range(n):
+        name = f"{i:08d}"
+        _write_jpg(str(base / "blended_images" / f"{name}.jpg"), rng)
+        ddir = base / "rendered_depth_maps"
+        os.makedirs(ddir, exist_ok=True)
+        cv2.imwrite(str(ddir / f"{name}.pfm"),
+                    rng.uniform(1.0, 5.0, (H_SRC, W_SRC)).astype(np.float32))
+        cdir = base / "cams"
+        os.makedirs(cdir, exist_ok=True)
+        w2c = np.linalg.inv(_pose(i))
+        K = _intrinsics()
+        lines = ["extrinsic"]
+        lines += [" ".join(f"{v:.6f}" for v in row) for row in w2c]
+        lines += ["", "intrinsic"]
+        lines += [" ".join(f"{v:.6f}" for v in row) for row in K]
+        lines += ["", "1.0 0.01"]
+        (cdir / f"{name}_cam.txt").write_text("\n".join(lines) + "\n")
+    # pair.txt: each image lists all others as scored neighbors
+    pair_lines = [str(n)]
+    for i in range(n):
+        others = [j for j in range(n) if j != i]
+        pair_lines.append(str(i))
+        pair_lines.append(
+            f"{len(others)} " + " ".join(f"{j} {100 - abs(i - j)}"
+                                         for j in others))
+    (base / "cams" / "pair.txt").write_text("\n".join(pair_lines) + "\n")
+    (root / "train_list.txt").write_text(scene + "\n")
+    return str(root)
+
+
+def test_blendmvs_spann3r_loader(blendmvs_root):
+    ds = build_dataset(
+        f"BlendMVS(split='train', num_frames=4, num_seq=2, "
+        f"ROOT='{blendmvs_root}', resolution={RES!r}, seed=777)"
+    )
+    assert len(ds) == 2
+    views = ds[(0, 0)]
+    assert len(views) == 4  # never short despite retry paths
+    v = views[0]
+    assert v["img"].shape == (48, 64, 3)
+    assert v["valid_mask"].any()
+    assert v["dataset"] == "blendmvs"
+    np.testing.assert_allclose(  # pose is inv(w2c) = cam2world
+        views[0]["camera_pose"][:3, :3], np.eye(3), atol=1e-5)
+
+
+@pytest.fixture
+def blendedmvs_multiview_root(tmp_path):
+    """dust3r-processed flat layout: ROOT/<24-hex>/<idx>.{jpg,exr,npz} +
+    structured blendedmvs_pairs.npy."""
+    rng = np.random.default_rng(4)
+    root = tmp_path / "blendedmvs_proc"
+    os.makedirs(root, exist_ok=True)
+    # two scenes: seq_low 1 (train) and 10 (val, %10==0)
+    scenes = [(0x5A, 1), (0x5B, 10)]
+    rows = []
+    for seqh, seql in scenes:
+        scene_id = f"{seqh:08x}{seql:016x}"
+        sdir = root / scene_id
+        for i in range(6):
+            name = f"{i:08d}"
+            _write_jpg(str(sdir / f"{name}.jpg"), rng)
+            np.savez(sdir / f"{name}.npz", intrinsics=_intrinsics(),
+                     R_cam2world=np.eye(3, dtype=np.float32),
+                     t_cam2world=np.float32([0.1 * i, 0, 0]))
+        for a, b in [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)]:
+            rows.append((seqh, seql, a, b, 0.5))
+    pairs = np.array(rows, dtype=[("seq_high", "u4"), ("seq_low", "u8"),
+                                  ("img1", "u2"), ("img2", "u2"),
+                                  ("score", "f4")])
+    np.save(root / "blendedmvs_pairs.npy", pairs)
+    return str(root)
+
+
+def test_blendedmvs_multiview_pairs_parsing(blendedmvs_multiview_root,
+                                            monkeypatch):
+    import fast3r_tpu.data.datasets.multiview as mv
+
+    root = blendedmvs_multiview_root
+    ds = build_dataset(
+        f"BlendedMVS_Multiview(split='train', num_views=3, window_size=8, "
+        f"num_samples_per_window=4, ROOT='{root}', resolution={RES!r}, "
+        f"seed=777)"
+    )
+    # the %10==0 scene must be filtered out of the train split
+    assert list(ds.scene_to_indices) == [f"{0x5A:08x}{1:016x}"]
+    assert ds.scene_to_indices[f"{0x5A:08x}{1:016x}"] == [0, 1, 2, 3, 4, 5]
+    assert len(ds) > 0
+
+    ds_val = build_dataset(
+        f"BlendedMVS_Multiview(split='val', num_views=3, window_size=8, "
+        f"num_samples_per_window=4, ROOT='{root}', resolution={RES!r}, "
+        f"seed=777)"
+    )
+    assert list(ds_val.scene_to_indices) == [f"{0x5B:08x}{10:016x}"]
+
+    # cv2 in this env cannot write .exr fixtures; patch the depth read only
+    real_imread = mv.imread_cv2
+
+    def fake_imread(path, *a, **k):
+        if path.endswith(".exr"):
+            return np.full((H_SRC, W_SRC), 2.0, np.float32)
+        return real_imread(path, *a, **k)
+
+    monkeypatch.setattr(mv, "imread_cv2", fake_imread)
+    views = ds[(0, 0)]
+    assert len(views) == 3
+    assert views[0]["img"].shape == (48, 64, 3)
+    assert views[0]["dataset"] == "BlendedMVS"
+    assert views[0]["valid_mask"].all()

@@ -69,3 +69,24 @@ def test_validation_with_pose_and_recon(tmp_path):
     assert np.isfinite(res["val/dummy/loss"])
     assert "val/dummy/pose/RRA_at_15" in res
     assert "val/dummy/recon/accuracy" in res
+
+
+def test_metric_logger_resume_preserves_rows(tmp_path):
+    """Re-opening an existing CSV must keep prior rows (resume after requeue)."""
+    import csv
+
+    from fast3r_tpu.utils.logging import MetricLogger
+
+    path = str(tmp_path / "metrics.csv")
+    m1 = MetricLogger(path)
+    m1.log(step=1, loss=0.5)
+    m1.log(step=2, loss=0.4)
+
+    m2 = MetricLogger(path)  # simulates a restart
+    m2.log(step=3, loss=0.3)
+    m2.log(step=4, loss=0.2, lr=1e-4)  # new column triggers a rewrite
+
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    assert [r["step"] for r in rows] == ["1", "2", "3", "4"]
+    assert rows[3]["lr"] == "0.0001"
