@@ -27,3 +27,9 @@ from fast3r_tpu.data.datasets.eval_many_view_extra import (  # noqa: F401,E402
 
 BlendMVSEval = BlendMVS  # backward-compat alias (same class in the DSL)
 from fast3r_tpu.data.datasets.ase_multiview import ASE_Multiview  # noqa: F401,E402
+from fast3r_tpu.data.datasets.pairwise_legacy import (  # noqa: F401,E402
+    Co3dPairwise,
+    StaticThings3D,
+    Waymo,
+    WildRGBD,
+)

@@ -293,3 +293,239 @@ def conf_loss_multiview_v2(
     total = jnp.concatenate(terms)
     loss = jnp.sum(total) / total.shape[0]
     return loss, details
+
+
+# ---------------------------------------------------------------------------
+# legacy loss variants (reference losses.py:229-568, 744-788, 898-977)
+# ---------------------------------------------------------------------------
+
+def _masked_lower_median(x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """torch.nanmedian parity along the last axis: the LOWER median (element
+    (n-1)//2 of the sorted valid values), not numpy's midpoint average."""
+    big = jnp.where(valid, x, jnp.inf)
+    s = jnp.sort(big, axis=-1)
+    n = jnp.sum(valid, axis=-1).astype(jnp.int32)
+    idx = jnp.maximum((n - 1) // 2, 0)
+    return jnp.take_along_axis(s, idx[..., None], axis=-1)[..., 0]
+
+
+def regr3d_multiview_v1(
+    gts: Dict[str, jnp.ndarray],
+    preds: Dict[str, jnp.ndarray],
+    norm_mode: str = "avg_dis",
+    gt_scale: bool = False,
+) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+    """Legacy Regr3DMultiview (reference losses.py:229-293): each view is
+    normalized JOINTLY WITH THE ANCHOR pair-wise (not across all views), so
+    non-anchor views are normalized more heavily (the reference's own FIXME).
+    Global branch only."""
+    gt_pts = gts["pts3d"].astype(jnp.float32)
+    valid = gts["valid_mask"]
+    poses = gts["camera_pose"].astype(jnp.float32)
+    B, V = gt_pts.shape[:2]
+
+    inv_anchor = se3_inverse(poses[:, 0])
+    gt_anchor_frame = geotrf(
+        inv_anchor, gt_pts.reshape(B, -1, 3)).reshape(gt_pts.shape)
+    pr = preds["pts3d_in_other_view"].astype(jnp.float32)
+
+    losses = []
+    details: Dict[str, jnp.ndarray] = {}
+    for i in range(V):
+        pair_valid = jnp.stack([valid[:, 0], valid[:, i]], axis=1)
+
+        def pair_nf(p):
+            return _joint_norm_factor(
+                jnp.stack([p[:, 0], p[:, i]], axis=1), pair_valid, norm_mode)
+
+        pr_i = pr[:, i] / pair_nf(pr)[:, None, None, None]
+        if not gt_scale:
+            gt_i = (gt_anchor_frame[:, i]
+                    / pair_nf(gt_anchor_frame)[:, None, None, None])
+        else:
+            gt_i = gt_anchor_frame[:, i]
+        li = jnp.linalg.norm(pr_i - gt_i, axis=-1)  # (B,H,W)
+        losses.append(li)
+        details[f"Regr3DMultiview_pts3d_{i}_loss"] = _masked_mean(
+            li, valid[:, i])
+
+    pixel = {"global": jnp.stack(losses, axis=1), "valid_mask": valid}
+    return pixel, details
+
+
+def _global_scalar_norm_factor(pts, valid, norm_mode):
+    """BATCH-GLOBAL scalar factor (reference V2/V3
+    normalize_pointcloud_from_views, losses.py:338-383: `dis.mean()` over the
+    valid points of ALL samples and views — unlike V4's per-sample factor)."""
+    mode, dis_mode = norm_mode.split("_")
+    dis = _apply_dis_mode(jnp.linalg.norm(pts, axis=-1), dis_mode)
+    if mode == "avg":
+        nf = _masked_mean(dis.reshape(-1), valid.reshape(-1))
+    else:
+        raise ValueError(f"unsupported norm mode {mode!r}")
+    return jnp.maximum(nf, 1e-8)
+
+
+def regr3d_multiview_v2(
+    gts, preds, norm_mode: str = "avg_dis", gt_scale: bool = False,
+):
+    """Legacy Regr3DMultiviewV2 (reference losses.py:294-404): common
+    normalization factor across ALL views AND samples (a batch-global
+    scalar), global branch only."""
+    gt_pts = gts["pts3d"].astype(jnp.float32)
+    valid = gts["valid_mask"]
+    poses = gts["camera_pose"].astype(jnp.float32)
+    B, V = gt_pts.shape[:2]
+
+    inv_anchor = se3_inverse(poses[:, 0])
+    gt_g = geotrf(inv_anchor, gt_pts.reshape(B, -1, 3)).reshape(gt_pts.shape)
+    pr_g = preds["pts3d_in_other_view"].astype(jnp.float32)
+
+    pr_g = pr_g / _global_scalar_norm_factor(pr_g, valid, norm_mode)
+    if not gt_scale:
+        gt_g = gt_g / _global_scalar_norm_factor(gt_g, valid, norm_mode)
+
+    pixel = {"global": jnp.linalg.norm(pr_g - gt_g, axis=-1),
+             "valid_mask": valid}
+    details = {
+        f"Regr3DMultiview_pts3d_{i}_loss": _masked_mean(
+            pixel["global"][:, i], valid[:, i])
+        for i in range(V)
+    }
+    return pixel, details
+
+
+def regr3d_multiview_v3(
+    gts, preds, norm_mode: str = "avg_dis", gt_scale: bool = False,
+):
+    """Legacy Regr3DMultiviewV3 (reference losses.py:404-568): V2's
+    batch-global joint normalization for the global branch + a per-VIEW
+    scalar (also batch-global, normalize_pointcloud_per_view:497-534) for
+    the local branch."""
+    pixel, _ = regr3d_multiview_v2(gts, preds, norm_mode, gt_scale)
+    valid = pixel["valid_mask"]
+    V = valid.shape[1]
+    details = {
+        f"Regr3DMultiviewV3_pts3d_loss_global/{i:02d}": _masked_mean(
+            pixel["global"][:, i], valid[:, i])
+        for i in range(V)
+    }
+
+    if "pts3d_local" in preds:
+        gt_pts = gts["pts3d"].astype(jnp.float32)
+        poses = gts["camera_pose"].astype(jnp.float32)
+        B = gt_pts.shape[0]
+        inv_local = se3_inverse(poses.reshape(B * V, 4, 4))
+        gt_l = geotrf(inv_local, gt_pts.reshape(B * V, -1, 3)
+                      ).reshape(gt_pts.shape)
+        pr_l = preds["pts3d_local"].astype(jnp.float32)
+
+        def perview_scalar(pts):
+            return jnp.stack([
+                _global_scalar_norm_factor(pts[:, i], valid[:, i], norm_mode)
+                for i in range(V)
+            ])  # (V,)
+
+        pr_l = pr_l / perview_scalar(pr_l)[None, :, None, None, None]
+        if not gt_scale:
+            gt_l = gt_l / perview_scalar(gt_l)[None, :, None, None, None]
+        pixel["local"] = jnp.linalg.norm(pr_l - gt_l, axis=-1)
+        for i in range(V):
+            details[f"Regr3DMultiviewV3_pts3d_loss_local/{i:02d}"] = \
+                _masked_mean(pixel["local"][:, i], valid[:, i])
+    return pixel, details
+
+
+def conf_loss_multiview_v1(
+    gts, preds, alpha: float = 1.0,
+    norm_mode: str = "avg_dis", gt_scale: bool = False,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Legacy ConfLossMultiview (reference losses.py:744-788): SUM over views
+    of masked-mean(conf*loss - alpha*log conf), global branch (pairs with the
+    V1/V2 pixel losses, which return 2-tuples)."""
+    pixel, details = regr3d_multiview_v2(gts, preds, norm_mode, gt_scale)
+    valid = pixel["valid_mask"]
+    conf = preds["conf"].astype(jnp.float32)
+    V = valid.shape[1]
+    total = jnp.float32(0.0)
+    for i in range(V):
+        px = pixel["global"][:, i] * conf[:, i] - alpha * jnp.log(conf[:, i])
+        ci = _masked_mean(px, valid[:, i])
+        details[f"ConfLossMultiview_conf_loss_{i}"] = ci
+        total = total + ci
+    return total, details
+
+
+def regr3d_scale_shift_inv(
+    gt1, gt2, pred1, pred2,
+    norm_mode=None, gt_scale: bool = False,
+) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+    """Legacy Regr3D_ScaleShiftInv (reference losses.py:898-977, MRO runs
+    ShiftInv then ScaleInv on top of Regr3D): after the optional base
+    normalization, (1) subtract the joint LOWER-median depth (z only) of GT
+    from GT and of pred from pred; (2) divide by the joint median distance to
+    the per-coordinate median center (scale clipped to [1e-3, 1e3] for
+    preds; if gt_scale, rescale preds to the GT scale instead)."""
+    in_cam1 = se3_inverse(gt1["camera_pose"].astype(jnp.float32))
+    gt_pts1 = geotrf(in_cam1, gt1["pts3d"].astype(jnp.float32))
+    gt_pts2 = geotrf(in_cam1, gt2["pts3d"].astype(jnp.float32))
+    valid1, valid2 = gt1["valid_mask"], gt2["valid_mask"]
+    pr_pts1 = pred1["pts3d"].astype(jnp.float32)
+    pr_pts2 = pred2["pts3d_in_other_view"].astype(jnp.float32)
+    B = gt_pts1.shape[0]
+
+    if norm_mode:
+        def joint_factor(p1, p2):
+            pts = jnp.stack([p1, p2], axis=1)
+            valid = jnp.stack([valid1, valid2], axis=1)
+            return _joint_norm_factor(pts, valid, norm_mode)
+
+        nf_pr = joint_factor(pr_pts1, pr_pts2)[:, None, None, None]
+        pr_pts1, pr_pts2 = pr_pts1 / nf_pr, pr_pts2 / nf_pr
+        if not gt_scale:
+            nf_gt = joint_factor(gt_pts1, gt_pts2)[:, None, None, None]
+            gt_pts1, gt_pts2 = gt_pts1 / nf_gt, gt_pts2 / nf_gt
+
+    both_valid = jnp.concatenate(
+        [valid1.reshape(B, -1), valid2.reshape(B, -1)], axis=-1)
+
+    def joint_median_z(p1, p2):
+        z = jnp.concatenate(
+            [p1[..., 2].reshape(B, -1), p2[..., 2].reshape(B, -1)], axis=-1)
+        return _masked_lower_median(z, both_valid)  # (B,)
+
+    # shift: subtract joint median depth (z channel only)
+    gt_shift = joint_median_z(gt_pts1, gt_pts2)[:, None, None]
+    pr_shift = joint_median_z(pr_pts1, pr_pts2)[:, None, None]
+    gt_pts1 = gt_pts1.at[..., 2].add(-gt_shift)
+    gt_pts2 = gt_pts2.at[..., 2].add(-gt_shift)
+    pr_pts1 = pr_pts1.at[..., 2].add(-pr_shift)
+    pr_pts2 = pr_pts2.at[..., 2].add(-pr_shift)
+
+    def joint_center_scale(p1, p2):
+        pts = jnp.concatenate(
+            [p1.reshape(B, -1, 3), p2.reshape(B, -1, 3)], axis=1)
+        center = jnp.stack(
+            [_masked_lower_median(pts[..., c], both_valid) for c in range(3)],
+            axis=-1)  # (B,3)
+        norm = jnp.linalg.norm(pts - center[:, None], axis=-1)
+        # invalid rows carry inf from the median path; mask them out
+        return _masked_lower_median(norm, both_valid)  # (B,)
+
+    gt_s = joint_center_scale(gt_pts1, gt_pts2)[:, None, None, None]
+    pr_s = jnp.clip(joint_center_scale(pr_pts1, pr_pts2), 1e-3, 1e3
+                    )[:, None, None, None]
+    if gt_scale:
+        pr_pts1 = pr_pts1 * gt_s / pr_s
+        pr_pts2 = pr_pts2 * gt_s / pr_s
+    else:
+        gt_pts1, gt_pts2 = gt_pts1 / gt_s, gt_pts2 / gt_s
+        pr_pts1, pr_pts2 = pr_pts1 / pr_s, pr_pts2 / pr_s
+
+    l1 = jnp.linalg.norm(pr_pts1 - gt_pts1, axis=-1)
+    l2 = jnp.linalg.norm(pr_pts2 - gt_pts2, axis=-1)
+    details = {
+        "Regr3D_ScaleShiftInv_pts3d_1": _masked_mean(l1, valid1),
+        "Regr3D_ScaleShiftInv_pts3d_2": _masked_mean(l2, valid2),
+    }
+    return {"l1": l1, "l2": l2, "valid1": valid1, "valid2": valid2}, details

@@ -338,3 +338,121 @@ def test_blendedmvs_multiview_pairs_parsing(blendedmvs_multiview_root,
     assert views[0]["img"].shape == (48, 64, 3)
     assert views[0]["dataset"] == "BlendedMVS"
     assert views[0]["valid_mask"].all()
+
+
+@pytest.fixture
+def wildrgbd_root(tmp_path):
+    """WildRGBD layout: rgb/depth/masks/metadata with 5-digit names."""
+    rng = np.random.default_rng(5)
+    root = tmp_path / "wildrgbd"
+    os.makedirs(root, exist_ok=True)
+    frames = list(range(100))
+    with open(root / "selected_seqs_train.json", "w") as f:
+        json.dump({"cup": {"s1": frames}}, f)
+    base = root / "cup" / "s1"
+    for i in frames[:40]:
+        _write_jpg(str(base / "rgb" / f"{i:05d}.jpg"), rng)
+        for sub in ("depth", "masks", "metadata"):
+            os.makedirs(base / sub, exist_ok=True)
+        cv2.imwrite(str(base / "depth" / f"{i:05d}.png"),
+                    rng.integers(500, 5000, (H_SRC, W_SRC)).astype(np.uint16))
+        cv2.imwrite(str(base / "masks" / f"{i:05d}.png"),
+                    np.full((H_SRC, W_SRC), 255, np.uint8))
+        np.savez(base / "metadata" / f"{i:05d}.npz",
+                 camera_pose=_pose(i), camera_intrinsics=_intrinsics())
+    return str(root)
+
+
+def test_wildrgbd_pairwise_loader(wildrgbd_root):
+    ds = build_dataset(
+        f"WildRGBD(split='train', ROOT='{wildrgbd_root}', "
+        f"resolution={RES!r}, seed=777)"
+    )
+    assert len(ds) > 0
+    views = ds[(0, 0)]
+    assert len(views) == 2
+    assert views[0]["dataset"] == "WildRGBD"
+    assert views[0]["img"].shape == (48, 64, 3)
+    assert views[0]["valid_mask"].any()
+    # depth scale: png mm / 1000
+    assert 0.1 < views[0]["depthmap"][views[0]["valid_mask"]].mean() < 10.0
+
+
+@pytest.fixture
+def waymo_root(tmp_path, monkeypatch):
+    rng = np.random.default_rng(6)
+    root = tmp_path / "waymo"
+    scene = "segment-001"
+    os.makedirs(root / scene, exist_ok=True)
+    frames = [f"cam1_{i:03d}" for i in range(4)]
+    for i, name in enumerate(frames):
+        _write_jpg(str(root / scene / f"{name}.jpg"), rng)
+        np.savez(root / scene / f"{name}.npz",
+                 intrinsics=_intrinsics(), cam2world=_pose(i))
+    pairs = np.array([[0, 0, 1], [0, 1, 2], [0, 2, 3]])
+    np.savez(root / "waymo_pairs.npz",
+             scenes=np.array([scene]), frames=np.array(frames), pairs=pairs)
+    return str(root)
+
+
+def test_waymo_pairwise_loader(waymo_root, monkeypatch):
+    import fast3r_tpu.data.datasets.pairwise_legacy as pl
+
+    real_imread = pl.imread_cv2
+
+    def fake_imread(path, *a, **k):  # cv2 here cannot write .exr fixtures
+        if path.endswith(".exr"):
+            return np.full((H_SRC, W_SRC), 3.0, np.float32)
+        return real_imread(path, *a, **k)
+
+    monkeypatch.setattr(pl, "imread_cv2", fake_imread)
+    ds = build_dataset(
+        f"Waymo(ROOT='{waymo_root}', resolution={RES!r}, seed=777)"
+    )
+    assert len(ds) == 3
+    views = ds[(1, 0)]
+    assert len(views) == 2
+    assert views[0]["dataset"] == "Waymo"
+    assert views[0]["valid_mask"].all()
+
+
+@pytest.fixture
+def staticthings_root(tmp_path):
+    rng = np.random.default_rng(7)
+    root = tmp_path / "st3d"
+    os.makedirs(root, exist_ok=True)
+    pairs = np.array([(b"A/X", 1, b"l", 0, b"r", 1)],
+                     dtype=[("scene", "S8"), ("seq", "i4"), ("cam1", "S1"),
+                            ("im1", "i4"), ("cam2", "S1"), ("im2", "i4")])
+    # the reference stores a plain structured recarray; row unpacking works
+    np.save(root / "staticthings_pairs.npy", pairs)
+    for cam in ("left", "right"):
+        base = root / "TRAIN" / "A/X" / "0001" / cam
+        for i in range(2):
+            _write_jpg(str(base / f"{i:04d}_clean.jpg"), rng)
+            _write_jpg(str(base / f"{i:04d}_final.jpg"), rng)
+            np.savez(base / f"{i:04d}.npz",
+                     intrinsics=_intrinsics(), cam2world=_pose(i))
+    return str(root)
+
+
+def test_staticthings3d_pairwise_loader(staticthings_root, monkeypatch):
+    import fast3r_tpu.data.datasets.pairwise_legacy as pl
+
+    real_imread = pl.imread_cv2
+
+    def fake_imread(path, *a, **k):
+        if path.endswith(".exr"):
+            return np.full((H_SRC, W_SRC), 2.0, np.float32)
+        return real_imread(path, *a, **k)
+
+    monkeypatch.setattr(pl, "imread_cv2", fake_imread)
+    ds = build_dataset(
+        f"StaticThings3D(ROOT='{staticthings_root}', resolution={RES!r}, "
+        f"seed=777)"
+    )
+    assert len(ds) == 1
+    views = ds[(0, 0)]
+    assert len(views) == 2
+    assert views[0]["dataset"] == "StaticThings3D"
+    assert views[0]["instance"].startswith(("left_", "right_"))
