@@ -57,6 +57,86 @@ def parse_override(s: str):
     return key, value
 
 
+def _get_dotted(cfg: Dict, dotted: str):
+    node = cfg
+    for k in dotted.split("."):
+        node = node[k]
+    return node
+
+
+_ALLOWED_EVAL_NODES = (
+    ast.Expression, ast.BinOp, ast.UnaryOp, ast.Constant,
+    ast.Add, ast.Sub, ast.Mult, ast.Div, ast.FloorDiv, ast.Mod, ast.Pow,
+    ast.USub, ast.UAdd,
+)
+
+
+def _safe_arith_eval(expr: str):
+    """Arithmetic-only evaluator for ${python_eval:"..."} (the reference
+    registers an OmegaConf resolver that eval()s arbitrary code,
+    train.py:48-54; here only literals and + - * / // % ** are allowed)."""
+    tree = ast.parse(expr.strip(), mode="eval")
+    for node in ast.walk(tree):
+        if not isinstance(node, _ALLOWED_EVAL_NODES):
+            raise ValueError(
+                f"python_eval only supports arithmetic, got {ast.dump(node)}")
+    return eval(compile(tree, "<python_eval>", "eval"))  # noqa: S307 — vetted
+
+
+_INTERP_RE = None
+
+
+def _resolve_interpolations(cfg: Dict) -> Dict:
+    """Resolve ${a.b.c} references and ${python_eval:"expr"} in string values
+    (the reference's OmegaConf interpolation, e.g.
+    window_size=${python_eval:"${data.num_views} * 2"})."""
+    import re
+
+    global _INTERP_RE
+    if _INTERP_RE is None:
+        _INTERP_RE = re.compile(
+            r"\$\{python_eval:\s*\"([^\"]*)\"\s*\}|\$\{([A-Za-z0-9_.]+)\}")
+
+    def resolve_str(s: str):
+        for _ in range(10):  # nested references resolve inside-out per pass
+            def sub(m):
+                if m.group(1) is not None:
+                    body = m.group(1)
+                    if "${" in body:  # resolve inner plain refs first
+                        body = re.sub(
+                            r"\$\{([A-Za-z0-9_.]+)\}",
+                            lambda i: str(_get_dotted(cfg, i.group(1))), body)
+                        return '${python_eval:"' + body + '"}'
+                    return str(_safe_arith_eval(body))
+                return str(_get_dotted(cfg, m.group(2)))
+
+            # a string that IS a single reference keeps its native type
+            full = _INTERP_RE.fullmatch(s)
+            if full is not None and full.group(2) is not None:
+                v = _get_dotted(cfg, full.group(2))
+                if not isinstance(v, str):
+                    return v
+            if (full is not None and full.group(1) is not None
+                    and "${" not in full.group(1)):
+                return _safe_arith_eval(full.group(1))
+            new = _INTERP_RE.sub(sub, s)
+            if new == s:
+                return s
+            s = new
+        return s
+
+    def walk(node):
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        if isinstance(node, str) and "${" in node:
+            return resolve_str(node)
+        return node
+
+    return walk(cfg)
+
+
 def load_config(
     base_path: str,
     experiment: Optional[str] = None,
@@ -75,7 +155,7 @@ def load_config(
     for ov in overrides:
         key, value = parse_override(ov)
         set_dotted(cfg, key, value)
-    return cfg
+    return _resolve_interpolations(cfg)
 
 
 def save_config(cfg: Dict, run_dir: str) -> str:
