@@ -297,11 +297,20 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _flash_backward(q, k, v, o, lse, do, scale, bq, bk):
+def _flash_backward(q, k, v, o, lse, do, scale, bq, bk, dlse=None):
+    """Flash attention backward.
+
+    dlse: optional (B, H, S, 1) fp32 cotangent of the returned logsumexp —
+    used by ring attention, whose partial-merge weights depend on lse.  The
+    math folds into delta: ds = p*(dp - delta) + p*dlse = p*(dp - (delta -
+    dlse)), so the kernels are unchanged.
+    """
     B, H, S, D = q.shape
     Skv = k.shape[2]
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1,
                     keepdims=True)  # (B, H, S, 1)
+    if dlse is not None:
+        delta = delta - dlse.astype(jnp.float32)
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, kv_steps=Skv // bk),
