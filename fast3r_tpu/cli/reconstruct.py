@@ -31,6 +31,10 @@ def main(argv=None):
     ap.add_argument("--conf-percentile", type=float, default=10.0)
     ap.add_argument("--mask-sky", action="store_true")
     ap.add_argument("--save-npz", action="store_true")
+    ap.add_argument("--gif", action="store_true",
+                    help="also render an orbit GIF of the merged cloud")
+    ap.add_argument("--color-mode", default="rgb", choices=["rgb", "conf"],
+                    help="point colors: image RGB or confidence heatmap")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -70,7 +74,20 @@ def main(argv=None):
     scene = assemble_scene(views, preds,
                            conf_percentile=args.conf_percentile,
                            mask_sky=args.mask_sky)
+    if args.color_mode == "conf":
+        from fast3r_tpu.serve.visualizer import confidence_colors
+
+        confs = np.concatenate([
+            np.asarray(p["conf_local" if "pts3d_local_aligned_to_global" in p
+                         else "conf"])[0][f["mask"]]
+            for p, f in zip(preds, scene["per_frame"])
+        ])
+        scene["colors"] = confidence_colors(confs)
     ply_path = export_scene_ply(os.path.join(args.out, "scene.ply"), scene)
+    if args.gif:
+        from fast3r_tpu.serve.visualizer import render_scene_gif
+
+        render_scene_gif(scene, os.path.join(args.out, "orbit.gif"))
     with open(os.path.join(args.out, "poses.json"), "w") as f:
         json.dump({
             "poses_c2w": [p.tolist() for p in poses[0]],

@@ -115,17 +115,23 @@ def ring_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     attention compute of step i where scheduling allows.
     """
     n = jax.lax.psum(1, axis_name)
-    idx = jax.lax.axis_index(axis_name)
 
     qt = jnp.swapaxes(q, 1, 2)  # (B, H, S, D)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
 
-    o, lse = _attn_with_lse(qt, kt, vt, scale)
     perm = [(i, (i + 1) % n) for i in range(n)]
-    for _ in range(n - 1):
-        kt = jax.lax.ppermute(kt, axis_name, perm)
-        vt = jax.lax.ppermute(vt, axis_name, perm)
+    # double-buffered ring: issue the NEXT hop's permute before this hop's
+    # attention — the two only share a read of (kt, vt), so XLA's
+    # latency-hiding scheduler can run the ICI transfer under the compute
+    kt_next = jax.lax.ppermute(kt, axis_name, perm)
+    vt_next = jax.lax.ppermute(vt, axis_name, perm)
+    o, lse = _attn_with_lse(qt, kt, vt, scale)
+    for step in range(n - 1):
+        kt, vt = kt_next, vt_next
+        if step < n - 2:
+            kt_next = jax.lax.ppermute(kt, axis_name, perm)
+            vt_next = jax.lax.ppermute(vt, axis_name, perm)
         o_i, lse_i = _attn_with_lse(qt, kt, vt, scale)
         o, lse = _merge_partials(o, lse, o_i, lse_i)
     return jnp.swapaxes(o, 1, 2)

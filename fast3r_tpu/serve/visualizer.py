@@ -125,3 +125,87 @@ def start_visualization(output: Dict, port: int = 8020, **kwargs):
     from fast3r_tpu.serve.viser_server import run_viser_server
 
     return run_viser_server(output, port=port, **kwargs)
+
+
+def confidence_colors(conf: np.ndarray, vmin: Optional[float] = None,
+                      vmax: Optional[float] = None) -> np.ndarray:
+    """Confidence-heatmap coloring (reference viser_visualizer.py's
+    'confidence' color mode): JET colormap over log-confidence.
+
+    conf: (N,) confidences (>= 1 from the 1+exp head).  Returns (N, 3) RGB
+    in [0, 1].
+    """
+    import cv2
+
+    x = np.log(np.maximum(np.asarray(conf, np.float64), 1e-8))
+    lo = np.min(x) if vmin is None else np.log(max(vmin, 1e-8))
+    hi = np.max(x) if vmax is None else np.log(max(vmax, 1e-8))
+    t = np.clip((x - lo) / max(hi - lo, 1e-12), 0.0, 1.0)
+    lut = cv2.applyColorMap(np.arange(256, dtype=np.uint8)[:, None],
+                            cv2.COLORMAP_JET)[:, 0, ::-1]  # BGR -> RGB
+    return lut[(t * 255).astype(np.uint8)].astype(np.float32) / 255.0
+
+
+def _look_at(eye: np.ndarray, target: np.ndarray, up=(0.0, -1.0, 0.0)):
+    fwd = target - eye
+    fwd = fwd / (np.linalg.norm(fwd) + 1e-12)
+    right = np.cross(fwd, np.asarray(up, np.float64))
+    right = right / (np.linalg.norm(right) + 1e-12)
+    down = np.cross(fwd, right)
+    R = np.stack([right, down, fwd])  # world->cam rows (OpenCV convention)
+    t = -R @ eye
+    return R, t
+
+
+def render_scene_frame(scene: Dict, eye: np.ndarray, target: np.ndarray,
+                       hw=(480, 640), focal: float = 500.0,
+                       background=(255, 255, 255)) -> np.ndarray:
+    """Software point-splat render of the merged cloud from one camera.
+
+    Headless equivalent of the reference's viser client render; z-buffered
+    1-px splats.  Returns (H, W, 3) uint8.
+    """
+    H, W = hw
+    pts = np.asarray(scene["points"], np.float64)
+    cols = (np.asarray(scene["colors"]) * 255).astype(np.uint8)
+    frame = np.full((H, W, 3), background, np.uint8)
+    if len(pts) == 0:
+        return frame
+    R, t = _look_at(eye, target)
+    cam = pts @ R.T + t
+    z = cam[:, 2]
+    front = z > 1e-6
+    cam, z, cols = cam[front], z[front], cols[front]
+    u = np.round(cam[:, 0] / z * focal + W / 2).astype(np.int64)
+    v = np.round(cam[:, 1] / z * focal + H / 2).astype(np.int64)
+    ok = (u >= 0) & (u < W) & (v >= 0) & (v < H)
+    u, v, z, cols = u[ok], v[ok], z[ok], cols[ok]
+    order = np.argsort(-z)  # paint far->near so near wins
+    frame[v[order], u[order]] = cols[order]
+    return frame
+
+
+def render_scene_gif(scene: Dict, path: str, n_frames: int = 24,
+                     hw=(480, 640), fps: int = 8,
+                     elevation: float = 0.35) -> str:
+    """Render an orbit of the scene to a GIF (the reference's GIF export,
+    viser_visualizer.py render tab) without a GPU/GL stack."""
+    import PIL.Image
+
+    pts = np.asarray(scene["points"], np.float64)
+    if len(pts) == 0:
+        center, radius = np.zeros(3), 1.0
+    else:
+        center = np.median(pts, axis=0)
+        radius = float(np.quantile(
+            np.linalg.norm(pts - center, axis=-1), 0.9)) + 1e-6
+    frames = []
+    for i in range(n_frames):
+        ang = 2 * np.pi * i / n_frames
+        eye = center + 2.5 * radius * np.array([
+            np.sin(ang), -elevation, -np.cos(ang)])
+        frames.append(PIL.Image.fromarray(
+            render_scene_frame(scene, eye, center, hw=hw)))
+    frames[0].save(path, save_all=True, append_images=frames[1:],
+                   duration=int(1000 / fps), loop=0)
+    return path

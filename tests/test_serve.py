@@ -44,3 +44,35 @@ def test_sky_mask_detects_blue_sky():
     assert not_sky.shape == (H, W)
     assert not_sky[:8].mean() < 0.5      # sky rows mostly masked
     assert not_sky[20:].mean() > 0.9     # ground rows kept
+
+
+def test_confidence_colors_and_gif(tmp_path):
+    from fast3r_tpu.serve.visualizer import (
+        confidence_colors, render_scene_frame, render_scene_gif,
+    )
+
+    conf = 1.0 + np.exp(np.random.default_rng(0).standard_normal(100))
+    cols = confidence_colors(conf)
+    assert cols.shape == (100, 3)
+    assert cols.min() >= 0.0 and cols.max() <= 1.0
+    # monotone mapping endpoints: lowest conf -> blue-ish, highest -> red-ish
+    lo, hi = np.argmin(conf), np.argmax(conf)
+    assert cols[lo][2] > cols[lo][0]  # blue end of JET
+    assert cols[hi][0] > cols[hi][2]  # red end of JET
+
+    rng = np.random.default_rng(1)
+    scene = {
+        "points": rng.standard_normal((500, 3)),
+        "colors": rng.random((500, 3)),
+    }
+    frame = render_scene_frame(scene, eye=np.array([0.0, 0.0, -5.0]),
+                               target=np.zeros(3), hw=(64, 96))
+    assert frame.shape == (64, 96, 3)
+    assert (frame != 255).any()  # something was splatted
+
+    path = render_scene_gif(scene, str(tmp_path / "orbit.gif"),
+                            n_frames=4, hw=(48, 64))
+    import PIL.Image
+
+    im = PIL.Image.open(path)
+    assert im.is_animated and im.n_frames == 4
