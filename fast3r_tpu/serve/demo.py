@@ -24,8 +24,21 @@ def create_demo(model, viser_port_range=(8020, 8100)):
     from fast3r_tpu.serve.visualizer import assemble_scene, export_scene_ply
     from fast3r_tpu.utils.image import load_images
 
+    from fast3r_tpu.serve.server_manager import ViserServerManager, save_feedback
+
+    try:
+        import viser  # noqa: F401
+
+        manager = ViserServerManager(port_range=viser_port_range)
+    except ImportError:
+        manager = None  # PLY viewer only
+
+    feedback_path = os.path.join(tempfile.gettempdir(),
+                                 "fast3r_tpu_feedback.jsonl")
+
     def process_images(files: Optional[List], video,
-                       conf_percentile: float):
+                       conf_percentile: float,
+                       request: "gr.Request" = None):
         paths = [f.name for f in (files or [])]
         workdir = tempfile.mkdtemp()
         if video is not None:
@@ -46,7 +59,21 @@ def create_demo(model, viser_port_range=(8020, 8100)):
         ply = export_scene_ply(os.path.join(workdir, "scene.ply"), scene)
         status = (f"{len(views)} views, {len(scene['points'])} points, "
                   f"forward {info['total_time']:.2f}s")
+        if manager is not None:
+            # per-session interactive Viser server (reference demo.py:64-235)
+            session = getattr(request, "session_hash", None) or "default"
+            manager.gc(max_age_s=3600.0)
+            port = manager.start_server(
+                session, {"views": views, "preds": preds})
+            status += f"; viser on port {port}"
         return ply, status
+
+    def submit_feedback(text: str, request: "gr.Request" = None):
+        if not text:
+            return "enter feedback first"
+        save_feedback(feedback_path, text,
+                      {"session": getattr(request, "session_hash", None)})
+        return "thanks — feedback saved"
 
     with gr.Blocks(title="Fast3R (TPU)") as demo:
         gr.Markdown("# Fast3R — 3D reconstruction from unposed images")
@@ -58,6 +85,11 @@ def create_demo(model, viser_port_range=(8020, 8100)):
         out_ply = gr.Model3D(label="reconstruction")
         status = gr.Textbox(label="status")
         btn.click(process_images, [files, video, conf], [out_ply, status])
+        with gr.Row():
+            fb = gr.Textbox(label="feedback")
+            fb_btn = gr.Button("Send feedback")
+        fb_status = gr.Textbox(label="", interactive=False)
+        fb_btn.click(submit_feedback, [fb], [fb_status])
     return demo
 
 

@@ -76,3 +76,46 @@ def test_confidence_colors_and_gif(tmp_path):
 
     im = PIL.Image.open(path)
     assert im.is_animated and im.n_frames == 4
+
+
+def _sleepy_server(*args, port=None, **kwargs):  # spawn target for tests
+    import time as _t
+
+    _t.sleep(60)
+
+
+def test_viser_server_manager_lifecycle():
+    from fast3r_tpu.serve.server_manager import ViserServerManager
+
+    m = ViserServerManager(port_range=(9000, 9002), target=_sleepy_server)
+    try:
+        p1 = m.start_server("alice")
+        p2 = m.start_server("bob")
+        assert p1 != p2 and len(m) == 2
+        # restarting a session reuses the registry slot
+        p1b = m.start_server("alice")
+        assert len(m) == 2 and p1b in (9000, 9001, 9002)
+        # port pool exhaustion is a clean error
+        m.start_server("carol")
+        import pytest as _pt
+
+        with _pt.raises(RuntimeError):
+            m.start_server("dave")
+        assert m.stop_server("bob") and not m.stop_server("bob")
+        # gc with age 0 collects everything
+        assert m.gc(max_age_s=0.0) == 2 and len(m) == 0
+    finally:
+        m.shutdown()
+
+
+def test_save_feedback(tmp_path):
+    import json
+
+    from fast3r_tpu.serve.server_manager import save_feedback
+
+    path = str(tmp_path / "fb" / "feedback.jsonl")
+    save_feedback(path, "great tool", {"session": "a"})
+    save_feedback(path, "second")
+    rows = [json.loads(l) for l in open(path)]
+    assert [r["text"] for r in rows] == ["great tool", "second"]
+    assert rows[0]["session"] == "a"
