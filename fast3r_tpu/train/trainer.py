@@ -113,6 +113,19 @@ class Trainer:
             self.state = init_train_state(
                 params, optim_cfg, jax.random.key(self.cfg.seed + 1)
             )
+        # parameter accounting (reference utils/logging_utils.py:18-63 logs
+        # total/trainable counts at fit start)
+        n_params = sum(int(np.prod(x.shape))
+                       for x in jax.tree.leaves(self.state.params))
+        by_top = {
+            k: sum(int(np.prod(x.shape)) for x in jax.tree.leaves(v))
+            for k, v in self.state.params.items()
+        }
+        log.info(
+            "model parameters: total %.1fM (%s)",
+            n_params / 1e6,
+            ", ".join(f"{k}={v / 1e6:.1f}M" for k, v in sorted(by_top.items())),
+        )
         # two jitted step variants: all-landscape fast path + mixed-orientation
         # (portrait samples in batch get dual-orientation head passes —
         # without this their head outputs would be spatially scrambled)
