@@ -26,6 +26,12 @@ def main(argv=None):
                     help="run pose metrics on every dataset")
     ap.add_argument("--eval-recon", action="store_true",
                     help="run reconstruction metrics on every dataset")
+    ap.add_argument("--eval-config", default=None,
+                    help="eval preset from fast3r_tpu/configs/eval/ "
+                         "(eval_cam_pose, ablation_recon_better_inference_hp, "
+                         "ablation_recon_without_local_head, "
+                         "ablation_varying_test_views) — the reference's "
+                         "configs/eval groups")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
 
@@ -33,6 +39,8 @@ def main(argv=None):
     import yaml
 
     from fast3r_tpu.config import (
+        _resolve_interpolations,
+        deep_merge,
         load_config,
         loss_config_from_dict,
         model_config_from_dict,
@@ -57,9 +65,15 @@ def main(argv=None):
         default_cfg = os.path.join(os.path.dirname(__file__), "..", "configs",
                                    "train.yaml")
         cfg = load_config(default_cfg)
+    if args.eval_config:
+        preset = os.path.join(os.path.dirname(__file__), "..", "configs",
+                              "eval", args.eval_config + ".yaml")
+        with open(preset) as f:
+            cfg = deep_merge(cfg, yaml.safe_load(f) or {})
     for ov in args.overrides:
         k, v = parse_override(ov)
         set_dotted(cfg, k, v)
+    cfg = _resolve_interpolations(cfg)
 
     model = load_model(args.run_dir or args.hf_checkpoint,
                        ckpt_name=args.checkpoint)
@@ -80,15 +94,22 @@ def main(argv=None):
         num_workers_val=data_cfg.get("num_workers_val", 0),
     )
     val_loaders = dm.val_dataloaders()
+    eval_cfg = cfg.get("eval", {})
     pose_flags, recon_flags = {}, {}
     for name, expr in zip(val_loaders, val_exprs):
         # reference dispatch: Co3D -> pose eval; DTU/7scenes/NRGBD -> recon
-        pose_flags[name] = args.eval_pose or "Co3d" in expr
-        recon_flags[name] = args.eval_recon or any(
-            d in expr for d in ("DTU", "SevenScenes", "NRGBD"))
+        pose_flags[name] = (args.eval_pose or eval_cfg.get("pose", False)
+                            or "Co3d" in expr)
+        recon_flags[name] = (args.eval_recon or eval_cfg.get("recon", False)
+                             or any(d in expr
+                                    for d in ("DTU", "SevenScenes", "NRGBD")))
 
-    results = trainer.validate(val_loaders, epoch=0,
-                               eval_pose=pose_flags, eval_recon=recon_flags)
+    results = trainer.validate(
+        val_loaders, epoch=0,
+        eval_pose=pose_flags, eval_recon=recon_flags,
+        use_pts3d_from_local_head=cfg.get("model", {}).get(
+            "eval_use_pts3d_from_local_head", True),
+    )
     print(json.dumps(results, indent=2))
     return results
 

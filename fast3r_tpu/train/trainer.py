@@ -265,7 +265,8 @@ class Trainer:
 
     def validate(self, val_loaders: Dict[str, Any], epoch: int,
                  eval_pose: Optional[Dict[str, bool]] = None,
-                 eval_recon: Optional[Dict[str, bool]] = None) -> Dict[str, float]:
+                 eval_recon: Optional[Dict[str, bool]] = None,
+                 use_pts3d_from_local_head: bool = True) -> Dict[str, float]:
         """Per-dataset val loss + optional pose/recon metric suites
         (reference validation_step dispatch, module.py:239-301)."""
         from fast3r_tpu.eval.pose import estimate_camera_poses
@@ -291,7 +292,9 @@ class Trainer:
                         pose_ms.append(pose_metrics(np.stack(poses[b]), gt))
                 if eval_recon and eval_recon.get(name):
                     views_v, preds_v = _split_batch_by_view(batch, preds)
-                    rs = evaluate_reconstruction(views_v, preds_v)
+                    rs = evaluate_reconstruction(
+                        views_v, preds_v,
+                        use_pts3d_from_local_head=use_pts3d_from_local_head)
                     recon_ms.extend([r for r in rs if r])
             results[f"val/{name}/loss"] = float(np.mean(losses)) if losses else float("nan")
             for ms, prefix in ((pose_ms, "pose"), (recon_ms, "recon")):
