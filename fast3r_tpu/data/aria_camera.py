@@ -167,12 +167,23 @@ def undistort_fisheye_to_pinhole_rgbd(
 
 
 class VignetteCorrector:
-    """Vignette correction (reference camera_utils.py:85-121).  The vignette
-    calibration image is not bundled; without one, correction is identity."""
+    """Vignette correction (reference camera_utils.py:85-121).
+
+    The reference bundles an IMX577 calibration image next to its module; we
+    probe the same filename here (drop `vignette_imx577.png` beside this
+    file) and fall back to identity correction when absent."""
+
+    DEFAULT_NAME = "vignette_imx577.png"
 
     def __init__(self, vignette_file: Optional[str] = None):
         import cv2
 
+        if vignette_file is None:
+            import os.path as osp
+
+            candidate = osp.join(osp.dirname(__file__), self.DEFAULT_NAME)
+            if osp.exists(candidate):
+                vignette_file = candidate
         self.vignette = None
         if vignette_file is not None:
             v = cv2.imread(vignette_file)

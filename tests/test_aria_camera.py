@@ -111,3 +111,30 @@ def test_ase_loader_fixture(tmp_path):
     assert views[0]["img"].shape == (48, 64, 3)
     assert views[0]["valid_mask"].any()
     assert np.isfinite(views[0]["camera_pose"]).all()
+
+
+def test_vignette_corrector_with_calibration(tmp_path):
+    """Correction math vs the reference (camera_utils.py:101-116): divide by
+    the clamped vignette, clip to [0,255], zero where the vignette is zero."""
+    import cv2
+
+    from fast3r_tpu.data.aria_camera import VignetteCorrector
+
+    H, W = 8, 10
+    vig = np.full((H, W, 3), 128, np.uint8)   # 0.5 gain everywhere...
+    vig[0, 0] = 0                              # ...except a dead pixel
+    path = str(tmp_path / "vig.png")
+    cv2.imwrite(path, vig)
+
+    vc = VignetteCorrector(path)
+    img = np.full((H, W, 3), 100, np.float32)
+    out = vc.correct(img)
+    # 100 / (128/255) = 199.2...
+    np.testing.assert_allclose(out[1, 1], 100 / (128 / 255), rtol=1e-5)
+    assert (out[0, 0] == 0).all()              # dead pixel zeroed
+    out2 = vc.correct(np.full((H, W, 3), 250, np.float32))
+    assert out2.max() <= 255.0                 # clipped
+
+    # identity without a calibration file
+    vc_id = VignetteCorrector(None)
+    np.testing.assert_array_equal(vc_id.correct(img), img)
