@@ -437,8 +437,18 @@ def make_seq_sharded_train_step(cfg, optim_cfg, mesh: Mesh,
             lambda p: sharded_loss(p, batch, step_rng))(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params)
+        # same non-finite skip guard as train_step (reference
+        # multiview_dust3r_module.py:195-205)
+        grad_norm = optax.global_norm(grads)
+        finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+        updates = jax.tree.map(
+            lambda u: jnp.where(finite, u, jnp.zeros_like(u)), updates)
+        new_opt_state = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old),
+            new_opt_state, state.opt_state)
         new_params = optax.apply_updates(state.params, updates)
-        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        metrics = {"loss": loss, "grad_norm": grad_norm,
+                   "skipped_nonfinite": (~finite).astype(jnp.int32)}
         return TrainState(params=new_params, opt_state=new_opt_state,
                           step=state.step + 1, rng=rng), metrics
 

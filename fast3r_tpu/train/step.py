@@ -121,12 +121,26 @@ def train_step(
         state.params
     )
     updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+
+    # NaN/Inf guard (reference training_step skips non-finite losses,
+    # multiview_dust3r_module.py:195-205): a non-finite loss or gradient
+    # leaves params AND optimizer state untouched for this step
+    grad_norm = optax.global_norm(grads)
+    finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+
+    def _keep_finite(new, old):
+        return jnp.where(finite, new, old)
+
+    updates = jax.tree.map(lambda u: jnp.where(finite, u, jnp.zeros_like(u)),
+                           updates)
+    new_opt_state = jax.tree.map(_keep_finite, new_opt_state, state.opt_state)
     new_params = optax.apply_updates(state.params, updates)
 
     metrics = {
         "loss": loss,
         "lr": make_schedule(optim_cfg)(state.step),
-        "grad_norm": optax.global_norm(grads),
+        "grad_norm": grad_norm,
+        "skipped_nonfinite": (~finite).astype(jnp.int32),
         **{k: v for k, v in details.items()},
     }
     new_state = TrainState(

@@ -90,3 +90,54 @@ def test_random_image_ids_deterministic_given_key():
         rest = ids[b, 1:]
         assert len(set(rest.tolist())) == len(rest)  # non-repeating
         assert (rest >= 1).all() and (rest <= 999).all()
+
+
+def test_nonfinite_loss_skips_update():
+    """A poisoned batch (NaN GT) must leave params and optimizer state
+    untouched (reference skips non-finite losses, module.py:195-205)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fast3r_tpu.data.dummy import make_dummy_batch
+    from fast3r_tpu.models.fast3r import Fast3RConfig, init_fast3r
+    from fast3r_tpu.train.step import (
+        OptimConfig, init_train_state, make_jitted_train_step,
+    )
+
+    cfg = Fast3RConfig.tiny()
+    optim_cfg = OptimConfig(warmup_steps=1, total_steps=10)
+    state = init_train_state(init_fast3r(jax.random.key(0), cfg), optim_cfg,
+                             jax.random.key(1))
+    params_before = jax.tree.map(np.array, state.params)
+    step = make_jitted_train_step(cfg, optim_cfg, remat=False)
+
+    batch_np = make_dummy_batch(batch_size=1, num_views=2, height=48,
+                                width=64, seed=0)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+             if k in ("imgs", "true_shapes", "pts3d", "valid_mask",
+                      "camera_pose")}
+    batch["pts3d"] = batch["pts3d"].at[0, 0, 0, 0].set(jnp.nan)
+
+    state2, metrics = step(state, batch)
+    assert int(metrics["skipped_nonfinite"]) == 1
+    for a, b in zip(jax.tree.leaves(state2.params),
+                    jax.tree.leaves(params_before)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    # a clean batch afterwards still trains
+    batch_ok = {k: jnp.asarray(v) for k, v in batch_np.items()
+                if k in ("imgs", "true_shapes", "pts3d", "valid_mask",
+                         "camera_pose")}
+    state3, m2 = step(state2, batch_ok)
+    assert int(m2["skipped_nonfinite"]) == 0
+    assert np.isfinite(float(m2["loss"]))
+    # the skipped step must NOT have advanced the schedule: optimizer count
+    # is still 0, so lr(0)=0 and this first clean update is a param no-op;
+    # the SECOND clean step (count 1, lr>0) must move params
+    state4, m3 = step(state3, {k: jnp.asarray(v) for k, v in batch_np.items()
+                               if k in batch})
+    assert int(m3["skipped_nonfinite"]) == 0
+    changed = any(
+        not np.array_equal(np.asarray(a), b)
+        for a, b in zip(jax.tree.leaves(state4.params),
+                        jax.tree.leaves(params_before)))
+    assert changed
