@@ -27,6 +27,10 @@ def main(argv=None):
                         help="call jax.distributed.initialize() for multi-host "
                              "pods (auto-discovers the coordinator on TPU; "
                              "also enabled via FAST3R_TPU_DISTRIBUTED=1)")
+    parser.add_argument("--profile-dir", default=None,
+                        help="capture a jax.profiler trace of the first "
+                             "training steps into this directory (the "
+                             "reference's Lightning profiler debug config)")
     parser.add_argument("overrides", nargs="*",
                         help="dotted config overrides: a.b.c=value")
     args = parser.parse_args(argv)
@@ -103,7 +107,17 @@ def main(argv=None):
             rng=trainer.state.rng,
         )
 
-    trainer.fit(train_loader, val_loaders, resume=args.resume)
+    try:
+        if args.profile_dir:
+            with jax.profiler.trace(args.profile_dir):
+                trainer.fit(train_loader, val_loaders, resume=args.resume)
+        else:
+            trainer.fit(train_loader, val_loaders, resume=args.resume)
+    except Exception:
+        # the reference's task_wrapper logs the exception before re-raising
+        # (utils/utils.py:49-100) so cluster logs always show the cause
+        log.exception("training failed")
+        raise
     log.info("training complete")
 
 
