@@ -456,3 +456,130 @@ def test_staticthings3d_pairwise_loader(staticthings_root, monkeypatch):
     assert len(views) == 2
     assert views[0]["dataset"] == "StaticThings3D"
     assert views[0]["instance"].startswith(("left_", "right_"))
+
+
+@pytest.fixture
+def arkitscenes_root(tmp_path):
+    """ARKitScenes layout: <split>/all_metadata.npz + per-scene
+    vga_wide/*.jpg + lowres_depth/*.png (mm)."""
+    rng = np.random.default_rng(8)
+    root = tmp_path / "arkit"
+    split_dir = root / "Training"
+    n = 8
+    scenes = np.array(["40753679"])
+    sceneids = np.zeros(n, np.int64)
+    images = np.array([f"40753679_{i:07d}.png" for i in range(n)])
+    intrinsics = np.stack([_intrinsics()] * n)
+    trajectories = np.stack([_pose(i) for i in range(n)])
+    os.makedirs(split_dir, exist_ok=True)
+    np.savez(split_dir / "all_metadata.npz", scenes=scenes, sceneids=sceneids,
+             images=images, intrinsics=intrinsics, trajectories=trajectories)
+    sdir = split_dir / "40753679"
+    for i in range(n):
+        _write_jpg(str(sdir / "vga_wide" / f"40753679_{i:07d}.jpg"), rng)
+        os.makedirs(sdir / "lowres_depth", exist_ok=True)
+        cv2.imwrite(str(sdir / "lowres_depth" / f"40753679_{i:07d}.png"),
+                    rng.integers(500, 5000, (H_SRC, W_SRC)).astype(np.uint16))
+    return str(root)
+
+
+def test_arkitscenes_multiview_loader(arkitscenes_root):
+    ds = build_dataset(
+        f"ARKitScenes_Multiview(split='Training', num_views=3, window_size=8, "
+        f"num_samples_per_window=2, ROOT='{arkitscenes_root}', "
+        f"resolution={RES!r}, seed=777)"
+    )
+    assert len(ds) > 0
+    views = ds[(0, 0)]
+    assert len(views) == 3
+    assert views[0]["dataset"] == "arkitscenes"
+    assert views[0]["img"].shape == (48, 64, 3)
+    assert views[0]["valid_mask"].any()
+    assert 0.1 < views[0]["depthmap"][views[0]["valid_mask"]].mean() < 10.0
+
+
+@pytest.fixture
+def megadepth_root(tmp_path):
+    """MegaDepth layout: all_metadata_for_multiview.npz + scene/subscene
+    dirs with <img>.jpg/.exr/.npz."""
+    rng = np.random.default_rng(9)
+    root = tmp_path / "megadepth"
+    os.makedirs(root, exist_ok=True)
+    n = 6
+    scenes = np.array(["0001/dense0"])
+    sceneids = np.zeros(n, np.int64)
+    images = np.array([f"im{i:04d}" for i in range(n)])
+    np.savez(root / "all_metadata_for_multiview.npz", scenes=scenes,
+             sceneids=sceneids, images=images)
+    sdir = root / "0001" / "dense0"
+    for i in range(n):
+        _write_jpg(str(sdir / f"im{i:04d}.jpg"), rng)
+        np.savez(sdir / f"im{i:04d}.npz", intrinsics=_intrinsics(),
+                 cam2world=_pose(i))
+    return str(root)
+
+
+def test_megadepth_multiview_loader(megadepth_root, monkeypatch):
+    import fast3r_tpu.data.datasets.multiview as mv
+
+    real_imread = mv.imread_cv2
+
+    def fake_imread(path, *a, **k):  # cv2 here cannot write .exr fixtures
+        if path.endswith(".exr"):
+            return np.full((H_SRC, W_SRC), 4.0, np.float32)
+        return real_imread(path, *a, **k)
+
+    monkeypatch.setattr(mv, "imread_cv2", fake_imread)
+    ds = build_dataset(
+        f"MegaDepth_Multiview(split='train', num_views=3, window_size=8, "
+        f"num_samples_per_window=2, ROOT='{megadepth_root}', "
+        f"resolution={RES!r}, seed=777)"
+    )
+    assert len(ds) > 0
+    views = ds[(0, 0)]
+    assert len(views) == 3
+    assert views[0]["dataset"] == "MegaDepth"
+    assert views[0]["valid_mask"].all()
+
+
+@pytest.fixture
+def habitat_root(tmp_path):
+    """Habitat layout: Habitat_<size>_scenes_<split>.txt listing scene keys;
+    per-key files <key>_<i>.jpeg + _depth.exr + _camera_params.json."""
+    rng = np.random.default_rng(10)
+    root = tmp_path / "habitat"
+    sdir = root / "sceneA"
+    os.makedirs(sdir, exist_ok=True)
+    for i in range(1, 6):  # file indices 1..5
+        _write_jpg(str(sdir / f"key_{i}.jpeg"), rng)
+        with open(sdir / f"key_{i}_camera_params.json", "w") as f:
+            json.dump({
+                "camera_intrinsics": _intrinsics().tolist(),
+                "R_cam2world": np.eye(3).tolist(),
+                "t_cam2world": [0.1 * i, 0, 0],
+            }, f)
+    (root / "Habitat_1000_scenes_train.txt").write_text("sceneA/key\n")
+    return str(root)
+
+
+def test_habitat_multiview_loader(habitat_root, monkeypatch):
+    import fast3r_tpu.data.datasets.multiview as mv
+    import cv2 as _cv2
+
+    real_imread_cv2 = _cv2.imread
+
+    def fake_cv2_imread(path, *a, **k):
+        if str(path).endswith(".exr"):
+            return np.full((H_SRC, W_SRC), 2.5, np.float32)
+        return real_imread_cv2(path, *a, **k)
+
+    monkeypatch.setattr(_cv2, "imread", fake_cv2_imread)
+    ds = build_dataset(
+        f"Habitat_Multiview(1000, split='train', num_views=3, "
+        f"ROOT='{habitat_root}', resolution={RES!r}, seed=777)"
+    )
+    assert len(ds) == 1
+    views = ds[(0, 0)]
+    assert len(views) == 3
+    assert views[0]["dataset"] == "Habitat"
+    assert views[0]["valid_mask"].all()
