@@ -263,12 +263,17 @@ def _psum_masked_mean(x, mask, axis_name):
     return jnp.where(n > 0, s / jnp.maximum(n, 1.0), 0.0)
 
 
-def seq_sharded_conf_loss(gts_loc, preds_loc, loss_cfg, axis_name):
+def seq_sharded_conf_loss(gts_loc, preds_loc, loss_cfg, axis_name,
+                          data_axis=None):
     """ConfLossMultiviewV2 (train/losses.py) with views sharded on
     `axis_name`: the anchor pose is all-gathered from shard 0, the joint
     'avg_dis' normalization factors reduce via psum, the local branch stays
     per-(sample, view), and the final mean over (view, branch) terms reduces
-    via psum.  Exact vs the single-device loss (reduction order aside)."""
+    via psum.  Exact vs the single-device loss (reduction order aside).
+
+    data_axis: optional batch-sharding axis — the reference's per-view
+    masked means pool the batch with the pixels (losses.py:819-827), so the
+    per-view sums/counts also psum over the data axis."""
     from fast3r_tpu.ops.geometry import geotrf, se3_inverse
     from fast3r_tpu.train.losses import _perview_norm_factor
 
@@ -323,6 +328,9 @@ def seq_sharded_conf_loss(gts_loc, preds_loc, loss_cfg, axis_name):
         # per-view masked mean over (B, H, W) jointly (losses.py comment)
         s = jnp.sum((px * vm).reshape(B, V_loc, -1).sum(0), axis=-1)
         c = jnp.sum(vm.reshape(B, V_loc, -1).sum(0), axis=-1)
+        if data_axis is not None:  # pool the batch across data shards
+            s = jax.lax.psum(s, data_axis)
+            c = jax.lax.psum(c, data_axis)
         per_view = jnp.where(c > 0, s / jnp.maximum(c, 1.0), 0.0)  # (V_loc,)
         term_sum = term_sum + per_view.sum()
         n_terms = n_terms + jnp.float32(V_loc)
@@ -333,6 +341,7 @@ def seq_sharded_conf_loss(gts_loc, preds_loc, loss_cfg, axis_name):
 
 def make_seq_sharded_train_step(cfg, optim_cfg, mesh: Mesh,
                                 loss_cfg=None, axis: str = "seq",
+                                data_axis=None,
                                 remat: bool = True):
     """Jitted training step with the view sequence sharded over `mesh[axis]`.
 
@@ -352,6 +361,7 @@ def make_seq_sharded_train_step(cfg, optim_cfg, mesh: Mesh,
     loss_cfg = loss_cfg or LossConfig()
     tx = make_optimizer(optim_cfg)
     n = mesh.shape[axis]
+    n_data = mesh.shape[data_axis] if data_axis else 1
     ring = functools.partial(ring_flash_attention, axis_name=axis)
 
     def per_shard_loss(params, batch_loc, step_rng):
@@ -369,11 +379,14 @@ def make_seq_sharded_train_step(cfg, optim_cfg, mesh: Mesh,
         fused = feats.reshape(B, V_loc * Pq, -1)
 
         my = jax.lax.axis_index(axis)
+        row = jax.lax.axis_index(data_axis) if data_axis else 0
         if getattr(dcfg, "random_image_idx_embedding", False):
-            # every shard samples the SAME full permutation from the step
-            # rng (replicated), then slices its views — identical ids to the
-            # single-device training forward (models/fast3r.py:216)
-            all_ids = sample_random_image_ids(step_rng, B, V)[0]
+            # every shard samples the SAME full (B_total, V) id table from
+            # the replicated step rng, then slices its batch row and views —
+            # identical ids to the single-device forward (fast3r.py:216)
+            all_ids = sample_random_image_ids(step_rng, n_data * B, V)
+            all_ids = jax.lax.dynamic_index_in_dim(all_ids, row,
+                                                   keepdims=False)
             view_ids = jax.lax.dynamic_slice_in_dim(all_ids, my * V_loc,
                                                     V_loc)
         else:
@@ -415,13 +428,15 @@ def make_seq_sharded_train_step(cfg, optim_cfg, mesh: Mesh,
             "valid_mask": batch_loc["valid_mask"],
             "camera_pose": batch_loc["camera_pose"],
         }
-        return seq_sharded_conf_loss(gts_loc, preds, loss_cfg, axis)
+        return seq_sharded_conf_loss(gts_loc, preds, loss_cfg, axis,
+                                     data_axis=data_axis)
 
     batch_keys = ("imgs", "pts3d", "valid_mask", "camera_pose")
+    batch_spec = P(data_axis, axis)
     sharded_loss = jax.shard_map(
         per_shard_loss,
         mesh=mesh,
-        in_specs=(P(), {k: P(None, axis) for k in batch_keys}, P()),
+        in_specs=(P(), {k: batch_spec for k in batch_keys}, P()),
         out_specs=P(),
         check_vma=False,
     )

@@ -209,3 +209,47 @@ def test_seq_sharded_train_step_matches_single_device():
     for a, b in zip(seq_leaves, ref_leaves):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-5)
+
+
+def test_seq_sharded_train_step_2d_mesh_matches_single_device():
+    """2D (data x seq) pod topology: batch sharded over 'data', views over
+    'seq' — one optimizer step must still match the single-device step
+    (batch-pooled per-view loss means psum over the data axis)."""
+    from fast3r_tpu.data.dummy import make_dummy_batch
+    from fast3r_tpu.parallel.sequence import make_seq_sharded_train_step
+    from fast3r_tpu.train.step import (
+        OptimConfig, init_train_state, make_jitted_train_step,
+    )
+    from fast3r_tpu.models.fast3r import init_fast3r
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs[:4]).reshape(2, 2), ("data", "seq"))
+    cfg = Fast3RConfig.tiny()
+    optim_cfg = OptimConfig(warmup_steps=2, total_steps=10)
+    params = init_fast3r(jax.random.key(0), cfg)
+
+    batch_np = make_dummy_batch(batch_size=2, num_views=4, height=48,
+                                width=64, seed=0)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+             if k in ("imgs", "true_shapes", "pts3d", "valid_mask",
+                      "camera_pose")}
+
+    s_ref = init_train_state(jax.tree.map(jnp.copy, params), optim_cfg,
+                             jax.random.key(1))
+    ref_step = make_jitted_train_step(cfg, optim_cfg, remat=False)
+    s_ref2, m_ref = ref_step(s_ref, batch)
+
+    s_seq = init_train_state(params, optim_cfg, jax.random.key(1))
+    seq_step = make_seq_sharded_train_step(cfg, optim_cfg, mesh,
+                                           data_axis="data", remat=False)
+    sh = NamedSharding(mesh, P("data", "seq"))
+    sharded_batch = {k: jax.device_put(v, sh) for k, v in batch.items()
+                     if k != "true_shapes"}
+    s_seq2, m_seq = seq_step(s_seq, sharded_batch)
+
+    np.testing.assert_allclose(float(m_seq["loss"]), float(m_ref["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s_seq2.params),
+                    jax.tree.leaves(s_ref2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
