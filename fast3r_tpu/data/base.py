@@ -376,8 +376,14 @@ class BaseViewDataset(EasyDataset):
             assert np.isfinite(view["depthmap"]).all(), (
                 f"NaN in depthmap for view {view.get('label')}"
             )
-            pts3d, valid_mask = depthmap_to_absolute_camera_coordinates_np(
-                view["depthmap"], view["camera_intrinsics"], view["camera_pose"]
+            # back-projection is the loader's hot per-pixel path; the OpenMP
+            # C++ kernel (native/fast3r_native.cpp) handles it when built,
+            # with the numpy implementation below as the exact fallback
+            from fast3r_tpu.native import pointmap_from_depth_native
+
+            pts3d, valid_mask = pointmap_from_depth_native(
+                view["depthmap"], view["camera_intrinsics"],
+                view["camera_pose"]
             )
             view["pts3d"] = pts3d
             view["valid_mask"] = valid_mask & np.isfinite(pts3d).all(axis=-1)
