@@ -24,15 +24,52 @@ _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
 
 
+def _build_locked() -> bool:
+    """Build the .so atomically, serialized across processes.
+
+    The kernels are called from BaseViewDataset.__getitem__ under a spawn
+    ProcessPoolExecutor, so first use can race N workers into `make`: without
+    serialization a worker may dlopen a half-linked file.  Guard with an
+    fcntl.flock on a lockfile, link to a temp name, and os.rename() into
+    place (rename is atomic on POSIX, so a concurrent dlopen sees either the
+    old file, nothing, or the complete new one).
+    """
+    try:
+        import fcntl
+    except ImportError:  # non-POSIX: fall back to unserialized build
+        fcntl = None
+    lockfile = os.path.join(_NATIVE_DIR, ".build.lock")
+    tmp_name = f"libfast3r_native.so.tmp.{os.getpid()}"
+    tmp_path = os.path.join(_NATIVE_DIR, tmp_name)
+    lock_fd = None
+    try:
+        if fcntl is not None:
+            lock_fd = open(lockfile, "w")
+            fcntl.flock(lock_fd, fcntl.LOCK_EX)
+        if os.path.exists(_LIB_PATH):  # another worker built it while we waited
+            return True
+        subprocess.run(["make", "-C", _NATIVE_DIR, f"TARGET={tmp_name}"],
+                       check=True, capture_output=True)
+        os.rename(tmp_path, _LIB_PATH)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+        return False
+    finally:
+        if os.path.exists(tmp_path):
+            try:
+                os.remove(tmp_path)
+            except OSError:
+                pass
+        if lock_fd is not None:
+            lock_fd.close()
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _build_failed
     if _lib is not None or _build_failed:
         return _lib
     if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True)
-        except (subprocess.CalledProcessError, FileNotFoundError):
+        if not _build_locked():
             _build_failed = True
             return None
     try:
@@ -117,6 +154,12 @@ def pointmap_from_depth_native(
     lib = _load()
     depth = np.ascontiguousarray(depth, np.float32)
     K = np.ascontiguousarray(intrinsics, np.float32)
+    # the native kernel reads only fx/fy/cx/cy; mirror the numpy path's
+    # zero-skew contract (reference geometry.py:199-200) instead of silently
+    # producing wrong pointmaps for skewed intrinsics
+    assert K[0, 1] == 0.0 and K[1, 0] == 0.0, (
+        f"intrinsics must have zero skew, got {K[:2, :2]}"
+    )
     if lib is None:
         from fast3r_tpu.data.base import (
             depthmap_to_absolute_camera_coordinates_np,

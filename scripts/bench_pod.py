@@ -11,7 +11,7 @@ Timing uses the checksum-fetch method (see bench.py) so it is valid on the
 tunneled platform too.
 
   python scripts/bench_pod.py --views 256 --height 192 --width 256 \
-      [--train] [--flagship]
+      [--train] [--config {tiny,base,flagship}]
 """
 
 import argparse
