@@ -11,25 +11,39 @@ NOT reliably synchronize over the tunnel, and every distinct program pays a
 slow remote compile.  So the bench chains ITERS forwards inside one jitted
 fori_loop (inputs perturbed per-iteration so XLA cannot hoist the body),
 reduces outputs to a scalar checksum on device, and forces execution by
-fetching that scalar; the measured wall time is divided by ITERS.
+fetching that scalar; the measured wall time is divided by ITERS.  The
+measurement repeats REPEATS times and reports the MEDIAN (min printed to
+stderr) — a single delta on a tunneled link is fragile.
 
-vs_baseline: the reference repo publishes no benchmark numbers (BASELINE.md),
-so the baseline is an analytic A100-80GB estimate documented here:
-~1.35 TFLOPs/image forward (encoder 0.47 + decoder 0.48 + dual DPT heads
-~0.40 at 512x384) at 40% of A100 bf16 peak (312 TFLOP/s) -> ~92 images/sec.
-Replace with a measured A100 number when one is available.
+vs_baseline derivation (the reference publishes no numbers, BASELINE.md, so
+the baseline is analytic and must reconcile with fast3r_tpu/utils/flops.py,
+the single authoritative FLOP counter):
+  * forward FLOPs at 20 views @ 512x384 (flagship, dual heads): 50.45 TFLOP
+    total = 10.46 encoder + 9.31 decoder linears + 23.19 decoder attention
+    (quadratic: S = 20*768 fused tokens) + 7.49 heads  ->  2.523 TFLOP/image.
+  * A100-80GB bf16 peak 312 TFLOP/s at an assumed 40% MFU (a strong flash
+    -attention torch pipeline) -> 124.8 TFLOP/s -> 124.8 / 2.523 = ~49.5
+    images/sec.  The r1 figure of 92 img/s undercounted decoder attention
+    ~3x (VERDICT r1); this replaces it.
+  * context for the measured value: the re-measured v5e bf16 matmul roof is
+    ~190 TFLOP/s (scripts/bench_roof.py, 4 shapes x 3 repeats; the r1
+    "64 TFLOP/s roof" was a measurement artifact), so images/sec maps to
+    MFU as imgs/sec * 2.523 / 190 (e.g. 31.4 img/s = 79 TFLOP/s = 42% MFU).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
-A100_BASELINE_IMGS_PER_SEC = 92.0
+A100_BF16_PEAK_TFLOPS = 312.0
+A100_ASSUMED_MFU = 0.40
 
 NUM_VIEWS = 20
 H, W = 384, 512  # landscape storage layout (H <= W)
 ITERS = 5
+REPEATS = 3
 
 
 def main():
@@ -37,10 +51,17 @@ def main():
     import jax.numpy as jnp
 
     from fast3r_tpu.models.fast3r import Fast3RConfig, fast3r_forward, init_fast3r
+    from fast3r_tpu.utils.flops import fast3r_forward_flops
 
     cfg = Fast3RConfig.flagship(attn_impl="pallas")
     params = init_fast3r(jax.random.key(0), cfg)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+
+    flops = fast3r_forward_flops(cfg, NUM_VIEWS, H, W)
+    tflop_per_image = flops["per_image"] / 1e12
+    baseline_imgs_per_sec = (
+        A100_BF16_PEAK_TFLOPS * A100_ASSUMED_MFU / tflop_per_image
+    )
 
     imgs = jnp.asarray(
         np.random.default_rng(0).standard_normal((1, NUM_VIEWS, H, W, 3)),
@@ -61,29 +82,42 @@ def main():
             return acc + one_forward(p, xi)
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    run1 = jax.jit(lambda p, x: run_n(p, x, 1))
-    runN = jax.jit(lambda p, x: run_n(p, x, ITERS))
+    run = jax.jit(run_n)  # n traced: one compiled program for n=1 and n=ITERS
+    one, many = jnp.int32(1), jnp.int32(ITERS)
 
-    # warmup/compile both programs
-    float(np.asarray(run1(params, imgs)))
-    float(np.asarray(runN(params, imgs)))
+    # warmup/compile
+    float(np.asarray(run(params, imgs, one)))
+    float(np.asarray(run(params, imgs, many)))
 
-    t0 = time.perf_counter()
-    float(np.asarray(run1(params, imgs)))
-    t1 = float(time.perf_counter() - t0)
-    t0 = time.perf_counter()
-    float(np.asarray(runN(params, imgs)))
-    tN = float(time.perf_counter() - t0)
+    per_iter = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        float(np.asarray(run(params, imgs, one)))
+        t1 = float(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(np.asarray(run(params, imgs, many)))
+        tN = float(time.perf_counter() - t0)
+        # (tN - t1) spans exactly ITERS-1 forwards with the tunnel roundtrip
+        # latency cancelled out
+        per_iter.append((tN - t1) / (ITERS - 1))
 
-    # (tN - t1) spans exactly ITERS-1 forwards with the tunnel roundtrip
-    # latency cancelled out
-    per_iter = (tN - t1) / (ITERS - 1)
-    imgs_per_sec = NUM_VIEWS / per_iter
+    med = float(np.median(per_iter))
+    imgs_per_sec = NUM_VIEWS / med
+    eff_tflops = tflop_per_image * imgs_per_sec
+    print(
+        f"repeats(s/iter): {[round(t, 4) for t in per_iter]} "
+        f"min={min(per_iter):.4f} median={med:.4f}; "
+        f"{flops['total'] / 1e12:.2f} TFLOP/pass -> {eff_tflops:.1f} TFLOP/s "
+        f"effective ({eff_tflops / 190.0 * 100:.0f}% of the measured 190 "
+        f"TFLOP/s matmul roof); analytic A100 baseline "
+        f"{baseline_imgs_per_sec:.1f} img/s",
+        file=sys.stderr,
+    )
     print(json.dumps({
         "metric": f"images/sec/chip ({NUM_VIEWS} views @ {W}x{H}, bf16, flagship)",
         "value": round(imgs_per_sec, 3),
         "unit": "images/sec",
-        "vs_baseline": round(imgs_per_sec / A100_BASELINE_IMGS_PER_SEC, 4),
+        "vs_baseline": round(imgs_per_sec / baseline_imgs_per_sec, 4),
     }))
 
 
