@@ -35,6 +35,11 @@ def main(argv=None):
                     help="also render an orbit GIF of the merged cloud")
     ap.add_argument("--color-mode", default="rgb", choices=["rgb", "conf"],
                     help="point colors: image RGB or confidence heatmap")
+    ap.add_argument("--host-preprocess", action="store_true",
+                    help="resize/crop/normalize on host with PIL (the parity "
+                         "oracle) instead of fused on device; the device path "
+                         "is automatic only when all frames share one raw "
+                         "shape")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -52,8 +57,6 @@ def main(argv=None):
 
         src = extract_frames_from_video(src, os.path.join(args.out, "frames"))
 
-    views = load_images(src, size=args.size)
-
     if args.checkpoint:
         # load_model handles both run dirs (config.yaml + orbax checkpoint)
         # and HF-format dirs/repos
@@ -64,7 +67,27 @@ def main(argv=None):
         print("WARNING: no checkpoint given; using random weights (smoke run)")
         model = Fast3R.from_random(Fast3RConfig.tiny())
 
-    result = inference(views, model, verbose=True)
+    # fused device-ingest path (one XLA program from raw uint8 frames to
+    # pointmaps) whenever all frames share one raw shape; PIL host path
+    # otherwise or on request
+    raw = None
+    if not args.host_preprocess:
+        from fast3r_tpu.utils.image import load_images_raw
+
+        frames = load_images_raw(src, verbose=True)
+        if len({f.shape for f in frames}) == 1:
+            raw = frames
+        else:
+            print(" (mixed raw shapes -> host preprocessing)")
+
+    if raw is not None:
+        from fast3r_tpu.inference import inference_from_raw
+
+        result = inference_from_raw(raw, model, size=args.size, verbose=True)
+        views = result["views"]
+    else:
+        views = load_images(src, size=args.size)
+        result = inference(views, model, verbose=True)
     preds = result["preds"]
     align_local_pts3d_to_global(preds, min_conf_thr_percentile=85.0)
 

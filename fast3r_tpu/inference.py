@@ -364,6 +364,81 @@ def _forward_views_staged(model: Fast3R, imgs, shape_sig):
     return preds, info
 
 
+def _build_raw_forward(model: Fast3R, src_hw: Tuple[int, int], num_views: int,
+                       size: int, square_ok: bool):
+    """One XLA program: uint8 frames -> preprocess -> encoder -> decoder ->
+    heads (north-star clause 1 — no host-side resize/normalize, no separate
+    ingest program serialized with device compute)."""
+    from fast3r_tpu.ops.preprocess import make_plan, preprocess_device
+
+    cfg = model.cfg
+    plan = make_plan(src_hw, size, square_ok=square_ok)
+    h, w = plan.out_hw
+    ps = cfg.encoder.patch_size
+    Pq = (h // ps) * (w // ps)
+    inference_enc_cfg = EncoderConfig(
+        **{**cfg.encoder.__dict__, "patch_embed_cls": "PatchEmbedDust3R"}
+    )
+
+    def fn(params, raw_u8):
+        imgs = preprocess_device(raw_u8, plan, model.dtype)  # (V, h, w, 3)
+        feats, _ = encoder_forward(params["encoder"], inference_enc_cfg, imgs)
+        fused = feats.reshape(1, num_views * Pq, -1)
+        image_ids = _inference_image_ids(cfg.decoder, [Pq] * num_views)
+        dec_out = decoder_forward(params["decoder"], cfg.decoder, fused,
+                                  image_ids, is_training=False)
+        tokens = [
+            dec_out[k].reshape(num_views, Pq, -1) for k in cfg.decoder.hooks
+        ]
+        g = dpt_head_forward(params["head_global"], cfg.head, tokens, (h, w))
+        res = {"pts3d_in_other_view": g["pts3d"], "conf": g["conf"]}
+        if cfg.with_local_head:
+            l = dpt_head_forward(params["head_local"], cfg.head, tokens, (h, w))
+            res["pts3d_local"] = l["pts3d"]
+            res["conf_local"] = l["conf"]
+        # ship the preprocessed frames back for visualization/colors
+        res["_imgs"] = imgs
+        return res
+
+    return jax.jit(fn), plan
+
+
+def inference_from_raw(raw_frames, model: Fast3R, size: int = 512,
+                       square_ok: bool = False, verbose: bool = True):
+    """Fused-ingest inference: same-shape raw uint8 frames in, the reference
+    output contract out (views + per-view preds with a leading batch dim).
+
+    raw_frames: (V, H, W, 3) uint8 array or a list of (H, W, 3) uint8 arrays
+    of one shape (decode/EXIF stay on host — utils/image.py load_images_raw).
+    """
+    raw = np.stack([np.asarray(f, np.uint8) for f in raw_frames]) \
+        if isinstance(raw_frames, (list, tuple)) else np.asarray(raw_frames)
+    assert raw.ndim == 4 and raw.shape[-1] == 3 and raw.dtype == np.uint8, \
+        raw.shape
+    V, H0, W0 = raw.shape[:3]
+    if verbose:
+        print(f">> Fused-ingest inference on {V} raw frames {W0}x{H0}")
+
+    key = ("raw", (H0, W0), V, size, square_ok, model.dtype)
+    if key not in model._jit_cache:
+        model._jit_cache[key] = _build_raw_forward(
+            model, (H0, W0), V, size, square_ok)
+    fn, plan = model._jit_cache[key]
+    out = jax.block_until_ready(fn(model.params, jnp.asarray(raw)))
+    h, w = plan.out_hw
+    imgs = np.asarray(out.pop("_imgs"), np.float32)
+    preds = [
+        {k: np.asarray(v[i:i + 1], np.float32) for k, v in out.items()}
+        for i in range(V)
+    ]
+    views = [
+        {"img": imgs[i:i + 1], "true_shape": np.int32([[h, w]]),
+         "idx": i, "instance": str(i)}
+        for i in range(V)
+    ]
+    return {"views": views, "preds": preds, "loss": None}
+
+
 def inference(multiple_views_in_one_sample: Sequence[Dict], model: Fast3R,
               device=None, dtype=None, verbose: bool = True,
               profiling: bool = False):

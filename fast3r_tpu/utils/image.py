@@ -58,6 +58,42 @@ def _resize_pil_image(img: PIL.Image.Image, long_edge_size: int) -> PIL.Image.Im
     return img.resize(new_size, interp)
 
 
+def load_images_raw(
+    folder_or_list: Union[str, Sequence],
+    verbose: bool = True,
+    rotate_clockwise_90: bool = False,
+) -> List[np.ndarray]:
+    """Host-minimal ingest: decode + EXIF transpose ONLY -> uint8 (H, W, 3).
+
+    Everything downstream (resize/crop/normalize) runs on device fused with
+    the encoder (ops/preprocess.py + inference.inference_from_raw) — the
+    north-star ingest path.  load_images() below remains the PIL parity
+    oracle.
+    """
+    if isinstance(folder_or_list, str):
+        root, folder_content = folder_or_list, sorted(os.listdir(folder_or_list))
+    else:
+        root, folder_content = "", list(folder_or_list)
+    exts = [".jpg", ".jpeg", ".png"] + ([".heic", ".heif"] if HEIF_SUPPORT else [])
+    frames = []
+    for path in folder_content:
+        if isinstance(path, PIL.Image.Image):
+            img = path.convert("RGB")
+        else:
+            if not str(path).lower().endswith(tuple(exts)):
+                continue
+            img = exif_transpose(
+                PIL.Image.open(os.path.join(root, path))
+            ).convert("RGB")
+        if rotate_clockwise_90:
+            img = img.rotate(-90, expand=True)
+        frames.append(np.asarray(img, np.uint8))
+    assert frames, "no images found at " + str(root)
+    if verbose:
+        print(f" (Decoded {len(frames)} raw frames)")
+    return frames
+
+
 def load_images(
     folder_or_list: Union[str, Sequence],
     size: int,
