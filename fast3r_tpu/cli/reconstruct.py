@@ -27,7 +27,9 @@ def main(argv=None):
                     help="HF-format checkpoint dir/repo or a fast3r_tpu run "
                          "dir; random weights if omitted")
     ap.add_argument("--size", type=int, default=512)
-    ap.add_argument("--backend", default="cv2", choices=["cv2", "jax"])
+    ap.add_argument("--backend", default="jax", choices=["jax", "cv2"],
+                    help="pose extraction: on-device jitted RANSAC-PnP "
+                         "(default) or host cv2 SQPNP (parity oracle)")
     ap.add_argument("--conf-percentile", type=float, default=10.0)
     ap.add_argument("--mask-sky", action="store_true")
     ap.add_argument("--save-npz", action="store_true")

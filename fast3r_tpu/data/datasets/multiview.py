@@ -442,7 +442,6 @@ class Habitat_Multiview(BaseViewDataset):
         return views
 
     def _load_one_view(self, data_path, key, view_index, resolution, rng):
-        import cv2
         import PIL.Image
 
         view_index += 1  # file indices start at 1
@@ -450,10 +449,11 @@ class Habitat_Multiview(BaseViewDataset):
         if not osp.exists(impath):
             raise FileNotFoundError(impath)
         image = PIL.Image.open(impath)
-        depth = cv2.imread(
-            osp.join(data_path, f"{key}_{view_index}_depth.exr"),
-            cv2.IMREAD_GRAYSCALE | cv2.IMREAD_ANYDEPTH,
-        )
+        # reference habitat.py:55 uses cv2.imread(GRAYSCALE|ANYDEPTH);
+        # imread_cv2 handles the ANYDEPTH EXR read AND falls back to the
+        # bundled EXR codec when this cv2 build lacks OpenEXR
+        depth = imread_cv2(
+            osp.join(data_path, f"{key}_{view_index}_depth.exr"))
         with open(osp.join(data_path,
                            f"{key}_{view_index}_camera_params.json")) as f:
             cam = json.load(f)

@@ -11,9 +11,21 @@ import numpy as np  # noqa: E402
 
 
 def imread_cv2(path: str, options=cv2.IMREAD_COLOR) -> np.ndarray:
-    """Open an image or depthmap with opencv; RGB order for color images."""
+    """Open an image or depthmap with opencv; RGB order for color images.
+
+    EXR depth maps fall back to the bundled pure-python codec
+    (fast3r_tpu/data/exr.py) when this OpenCV build lacks the OpenEXR
+    codec (`cv2.getBuildInformation()` OpenEXR: NO)."""
     if str(path).endswith((".exr", "EXR")):
         options = cv2.IMREAD_ANYDEPTH
+        img = cv2.imread(str(path), options)
+        if img is None:
+            from fast3r_tpu.data.exr import read_exr
+
+            img = np.asarray(read_exr(str(path)))
+            if img.dtype == np.float16:
+                img = img.astype(np.float32)
+        return img
     img = cv2.imread(str(path), options)
     if img is None:
         raise IOError(f"Could not load image={path} with {options=}")

@@ -5,12 +5,17 @@ Behavioral reference: MultiViewDUSt3RLitModule.estimate_camera_poses
 first view's global-head pointmap (Weiszfeld, conf-percentile 10), then
 RANSAC-PnP per view using the conf > 1.0 mask; failures return identity.
 
-Backends: "cv2" (host, SQPNP — reference parity) and "jax" (on-device,
-fully jitted batch PnP — no host round trip).
+Backends: "jax" (default — on-device, fully jitted batch PnP, no host round
+trip; the BASELINE north star "pose extraction never round-trips to host")
+and "cv2" (host, SQPNP — the reference-parity oracle).  Statistical
+RRA@15/RTA@15 agreement between the two is gated by
+tests/test_pose.py::test_backend_statistical_parity (50 randomized
+noisy/outlier scenes).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -29,7 +34,7 @@ def estimate_camera_poses(
     preds: Sequence[Dict],
     niter_PnP: int = 10,
     focal_length_estimation_method: str = "first_view_from_global_head",
-    backend: str = "cv2",
+    backend: str = "jax",
     seed: int = 0,
 ) -> Tuple[List[List[np.ndarray]], List[List[Optional[float]]]]:
     """Estimate per-view c2w poses + focals.
@@ -79,19 +84,45 @@ def estimate_camera_poses(
                     poses.append(c2w)
                     focals.append(f)
         elif backend == "jax":
-            pts = jnp.asarray(np.stack([s["pts3d"] for s in sample]))
-            conf = jnp.asarray(np.stack([s["conf"] for s in sample]))
-            c2w, inl, f_used = estimate_poses_jax(
-                pts, conf, focal=focal, niter=max(niter_PnP, 32),
-                key=jax.random.key(seed),
-            )
-            poses = [np.asarray(c2w[v]) for v in range(V)]
-            focals = [float(f_used)] * V
+            if focal is None:  # "individual": single Weiszfeld focal on-device
+                focal = float(estimate_focal_weiszfeld(
+                    jnp.asarray(sample[0]["pts3d"]),
+                    jnp.asarray(sample[0]["conf"]),
+                    min_conf_percentile=10.0))
+            shapes = {s["pts3d"].shape for s in sample}
+            if len(shapes) == 1:
+                pts = jnp.asarray(np.stack([s["pts3d"] for s in sample]))
+                conf = jnp.asarray(np.stack([s["conf"] for s in sample]))
+                c2w, inl, f_used = _estimate_poses_jax_jit(
+                    pts, conf, jnp.asarray(focal, pts.dtype),
+                    jax.random.key(seed), max(niter_PnP, 32),
+                )
+                poses = [np.asarray(c2w[v]) for v in range(V)]
+            else:
+                # mixed per-view resolutions (e.g. mixed-orientation
+                # scenes): one single-view jitted solve per distinct shape
+                poses = []
+                for v in range(V):
+                    c2w, _, _ = _estimate_poses_jax_jit(
+                        jnp.asarray(sample[v]["pts3d"])[None],
+                        jnp.asarray(sample[v]["conf"])[None],
+                        jnp.asarray(focal, jnp.float32),
+                        jax.random.fold_in(jax.random.key(seed), v),
+                        max(niter_PnP, 32),
+                    )
+                    poses.append(np.asarray(c2w[0]))
+            focals = [float(focal)] * V
         else:
             raise ValueError(backend)
         poses_all.append(poses)
         focals_all.append(focals)
     return poses_all, focals_all
+
+
+@functools.partial(jax.jit, static_argnames=("niter",))
+def _estimate_poses_jax_jit(pts3d, conf, focal, key, niter):
+    """Jit-cached device path (one compile per (V, H, W) shape)."""
+    return estimate_poses_jax(pts3d, conf, focal=focal, niter=niter, key=key)
 
 
 def estimate_poses_jax(

@@ -127,6 +127,102 @@ def _dlt_pose(pts3d: jnp.ndarray, rays: jnp.ndarray, w: jnp.ndarray
     return R, t
 
 
+def _skew(v: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3) -> (N, 3, 3) cross-product matrices."""
+    z = jnp.zeros_like(v[:, 0])
+    return jnp.stack([
+        jnp.stack([z, -v[:, 2], v[:, 1]], -1),
+        jnp.stack([v[:, 2], z, -v[:, 0]], -1),
+        jnp.stack([-v[:, 1], v[:, 0], z], -1),
+    ], 1)
+
+
+def _exp_so3(w: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues exp map for a single (3,) axis-angle vector."""
+    th = jnp.linalg.norm(w)
+    K = _skew(w[None])[0]
+    # series-safe coefficients near 0
+    a = jnp.where(th > 1e-8, jnp.sin(th) / jnp.where(th > 1e-8, th, 1.0), 1.0)
+    b = jnp.where(th > 1e-8,
+                  (1.0 - jnp.cos(th)) / jnp.where(th > 1e-8, th ** 2, 1.0),
+                  0.5)
+    return jnp.eye(3, dtype=w.dtype) + a * K + b * (K @ K)
+
+
+def _gauss_newton_polish(pts3d, pixels, w, focal, pp, R, t,
+                         iters: int = 8, huber_px: float = 2.5,
+                         huber_px_start: float = None,
+                         damping: float = 1e-6):
+    """Levenberg-damped Gauss-Newton on the reprojection residual with a
+    GRADUATED (annealed) Huber width.
+
+    Refines (R, t) on the weighted point set (w = inlier mask) with a Huber
+    robust weight; left-multiplicative so3 perturbation (R <- exp(dw) R).
+    The robust width anneals geometrically from `huber_px_start` (default
+    8x the final width) down to `huber_px`: a tight width at a far-off init
+    down-weights EVERY residual and freezes the solver on a saturated
+    plateau, while a wide width alone is not outlier-robust — graduated
+    non-convexity gives both a wide basin of attraction and a robust
+    optimum.  This closes the accuracy gap between the algebraic DLT
+    minimum and the geometric optimum that cv2's iterative SQPNP reaches —
+    gated by tests/test_pose.py::test_backend_statistical_parity.
+    """
+    f32 = jnp.float32
+    pts = pts3d.astype(f32)
+    px = pixels.astype(f32)
+    wv = w.astype(f32)
+    if huber_px_start is None:
+        huber_px_start = 8.0 * huber_px
+    # geometric schedule huber_px_start -> huber_px over `iters` steps
+    decay = (huber_px / huber_px_start) ** (1.0 / max(iters - 1, 1))
+    # near-plane cutoff: a point with cam-z ~ 0 has Jacobian leverage
+    # ~ 1/z^4 that Huber's 1/residual weight cannot cancel — one such
+    # outlier swamps JtJ (diag ~ 1e20) and freezes every other direction.
+    # Exclude points closer than 1% of the mean scene distance per iter.
+    scene_scale = (jnp.linalg.norm(pts, axis=-1) * wv).sum() / \
+        jnp.maximum(wv.sum(), 1.0)
+    z_min = 0.01 * scene_scale + 1e-6
+
+    def body(i, Rt):
+        R, t = Rt
+        huber_i = huber_px_start * decay ** i.astype(f32)
+        cam = pts @ R.T + t                      # (N, 3)
+        zc = jnp.clip(cam[:, 2], 1e-6, None)
+        inv_z = 1.0 / zc
+        proj = cam[:, :2] * inv_z[:, None] * focal + pp
+        r = proj - px                            # (N, 2)
+        zero = jnp.zeros_like(inv_z)
+        dpdY = focal * jnp.stack([
+            jnp.stack([inv_z, zero, -cam[:, 0] * inv_z ** 2], -1),
+            jnp.stack([zero, inv_z, -cam[:, 1] * inv_z ** 2], -1),
+        ], 1)                                    # (N, 2, 3)
+        # cam = exp(dw) (R X) + (t + dt): d cam / d dw = -skew(R X)
+        Jw = jnp.einsum("nij,njk->nik", dpdY, -_skew(cam - t))
+        J = jnp.concatenate([Jw, dpdY], -1)      # (N, 2, 6)
+        rn = jnp.linalg.norm(r, axis=-1)
+        hub = jnp.minimum(1.0, huber_i / jnp.maximum(rn, 1e-9))
+        hub = hub * (cam[:, 2] > z_min)          # near-plane leverage guard
+        ww = (wv * hub)[:, None]                 # (N, 1) per-point weight
+        Jf = J.reshape(-1, 6)
+        rf = r.reshape(-1)
+        wf = jnp.repeat(ww[:, 0], 2)
+        JtJ = (Jf * wf[:, None]).T @ Jf
+        # Levenberg damping relative to the problem scale (guards the
+        # singular JtJ that a fully down-weighted residual set produces)
+        lam = damping * (jnp.trace(JtJ) / 6.0 + 1.0)
+        JtJ = JtJ + lam * jnp.eye(6, dtype=f32)
+        Jtr = (Jf * wf[:, None]).T @ rf
+        delta = -jnp.linalg.solve(JtJ, Jtr)
+        delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta,
+                          jnp.zeros_like(delta))
+        R_new = _exp_so3(delta[:3]) @ R
+        t_new = t + delta[3:]
+        return (R_new, t_new)
+
+    R1, t1 = jax.lax.fori_loop(0, iters, body, (R.astype(f32), t.astype(f32)))
+    return R1.astype(pts3d.dtype), t1.astype(pts3d.dtype)
+
+
 def _reproj_errors(pts3d, pixels, R, t, focal, pp):
     cam = pts3d @ R.T + t
     z = jnp.clip(cam[:, 2:3], 1e-8, None)
@@ -159,7 +255,16 @@ def pnp_ransac_jax(
     rays = (pixels - pp) / focal
     mf = mask.astype(pts3d.dtype)
 
-    # sample minimal subsets, biased to valid points
+    # Multi-start LO-RANSAC: EVERY minimal-sample hypothesis is locally
+    # optimized (truncated-L1 IRLS refit + graduated Gauss-Newton) before
+    # ranking.  The 8-point algebraic DLT alone degrades badly under narrow
+    # FOV + pixel noise (tens of degrees off, sometimes into the mirror
+    # basin); polishing only the count-best hypothesis inherits that basin.
+    # Polishing all of them and ranking by the truncated robust cost
+    # sum(min(err, thr) * mask) lets any hypothesis that lands in the true
+    # basin win — inlier counts are not used for ranking because they
+    # saturate (e.g. along-ray depth outliers reproject well under ANY pose
+    # and jitter counts at the threshold).
     logits = jnp.where(mask, 0.0, -1e9)
     keys = jax.random.split(key, iters)
 
@@ -167,28 +272,59 @@ def pnp_ransac_jax(
         idx = jax.random.categorical(k, logits, shape=(sample_size,))
         w = jnp.ones((sample_size,), pts3d.dtype)
         R, t = _dlt_pose(pts3d[idx], rays[idx], w)
+        # graduated-robust geometric polish (Huber width 8x->0.5x thresh);
+        # the raw 8-point pose is only a basin seed — the polish does the
+        # actual estimation on all masked points
+        R, t = _gauss_newton_polish(
+            pts3d, pixels, mf, focal, pp, R, t,
+            iters=12, huber_px=reproj_thresh / 2.0,
+            huber_px_start=8.0 * reproj_thresh)
         err = _reproj_errors(pts3d, pixels, R, t, focal, pp)
-        inliers = (err < reproj_thresh) & mask
-        return R, t, inliers.sum()
+        cost = jnp.sum(jnp.minimum(err, reproj_thresh) * mf)
+        return R, t, cost
 
-    Rs, ts, scores = jax.vmap(one_model)(keys)
-    best = jnp.argmax(scores)
+    Rs, ts, costs = jax.vmap(one_model)(keys)
+    best = jnp.argmin(costs)
     R0, t0 = Rs[best], ts[best]
 
-    # refit on inliers of the best model (one weighted DLT pass)
+    # refit on inliers of the best model (weighted DLT), then polish the
+    # geometric optimum with damped Gauss-Newton + inlier re-estimation
+    # (cv2's SOLVEPNP_SQPNP also iterates to the geometric minimum).
+    # Candidate acceptance uses the TRUNCATED robust cost sum(min(err, thr))
+    # over valid points — inlier COUNTS saturate (points that reproject well
+    # under any pose, e.g. along-ray depth outliers, jitter the count at the
+    # threshold and would veto strictly better geometric fits).
+    def robust_cost(err):
+        return jnp.sum(jnp.minimum(err, reproj_thresh) * mf)
+
     err = _reproj_errors(pts3d, pixels, R0, t0, focal, pp)
     w_in = ((err < reproj_thresh) & mask).astype(pts3d.dtype)
+    cost = robust_cost(err)
     enough = w_in.sum() >= 6
     R1, t1 = _dlt_pose(pts3d, rays, w_in + 1e-9)
-    R = jnp.where(enough, R1, R0)
-    t = jnp.where(enough, t1, t0)
+    err1 = _reproj_errors(pts3d, pixels, R1, t1, focal, pp)
+    cost1 = robust_cost(err1)
+    take = enough & (cost1 < cost)
+    R = jnp.where(take, R1, R0)
+    t = jnp.where(take, t1, t0)
+    cost = jnp.where(take, cost1, cost)
+    w_in = jnp.where(take, ((err1 < reproj_thresh) & mask), w_in > 0
+                     ).astype(pts3d.dtype)
 
-    err2 = _reproj_errors(pts3d, pixels, R, t, focal, pp)
-    score2 = ((err2 < reproj_thresh) & mask).sum()
-    use_refit = score2 >= scores[best]
-    R = jnp.where(use_refit, R, R0)
-    t = jnp.where(use_refit, t, t0)
-    inl = jnp.maximum(score2, scores[best])
+    for _ in range(2):  # GN polish / inlier re-estimation alternation
+        Rp, tp = _gauss_newton_polish(pts3d, pixels, w_in, focal, pp, R, t,
+                                      huber_px=reproj_thresh / 2.0,
+                                      huber_px_start=reproj_thresh)
+        errp = _reproj_errors(pts3d, pixels, Rp, tp, focal, pp)
+        costp = robust_cost(errp)
+        better = costp <= cost
+        R = jnp.where(better, Rp, R)
+        t = jnp.where(better, tp, t)
+        cost = jnp.where(better, costp, cost)
+        w_in = jnp.where(better, ((errp < reproj_thresh) & mask), w_in > 0
+                         ).astype(pts3d.dtype)
+
+    inl = w_in.sum().astype(jnp.int32)
 
     w2c = jnp.eye(4, dtype=pts3d.dtype)
     w2c = w2c.at[:3, :3].set(R).at[:3, 3].set(t)

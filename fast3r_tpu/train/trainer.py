@@ -24,7 +24,7 @@ import json
 import os
 import signal
 import time
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +54,10 @@ class TrainerConfig:
     run_dir: str = "runs/default"
     log_every_n_steps: int = 10
     seed: int = 42
+    # metric sinks beyond the always-on CSV (reference logger group,
+    # configs/logger/*.yaml): "tensorboard" works out of the box (own event
+    # writer); wandb/mlflow/comet/neptune/aim attach if importable
+    loggers: Tuple[str, ...] = ("tensorboard",)
     remat: bool = True
     # SPMD: data axis -1 means "all remaining devices"; model_axis > 1 enables
     # tensor parallelism; use_mesh=False keeps the single-device path
@@ -76,7 +80,10 @@ class Trainer:
         self.loss_cfg = loss_cfg
         self.cfg = trainer_cfg
         os.makedirs(self.cfg.run_dir, exist_ok=True)
-        self.metrics = MetricLogger(os.path.join(self.cfg.run_dir, "metrics.csv"))
+        self.metrics = MetricLogger(
+            os.path.join(self.cfg.run_dir, "metrics.csv"),
+            sinks=getattr(self.cfg, "loggers", ()),
+        )
 
         params = init_params
         if params is None:

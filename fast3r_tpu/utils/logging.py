@@ -11,7 +11,7 @@ from __future__ import annotations
 import csv
 import logging
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Sequence
 
 logging.basicConfig(
     level=os.environ.get("FAST3R_TPU_LOGLEVEL", "INFO"),
@@ -44,12 +44,98 @@ class RankedLogger(logging.LoggerAdapter):
             self.logger.log(level, msg, *args, **kwargs)
 
 
+class _WandbSink:
+    """Gated wandb mirror (configs/logger/wandb.yaml)."""
+
+    def __init__(self, kwargs: Optional[Dict] = None):
+        import wandb
+
+        self._wandb = wandb
+        wandb.init(**(kwargs or {"project": "fast3r_tpu"}))
+
+    def log(self, step: int, metrics: Dict[str, float]) -> None:
+        self._wandb.log(metrics, step=step)
+
+
+class _MlflowSink:
+    """Gated mlflow mirror (configs/logger/mlflow.yaml)."""
+
+    def __init__(self, kwargs: Optional[Dict] = None):
+        import mlflow
+
+        self._mlflow = mlflow
+        mlflow.start_run(**(kwargs or {}))
+
+    def log(self, step: int, metrics: Dict[str, float]) -> None:
+        self._mlflow.log_metrics(
+            {k.replace("/", "."): v for k, v in metrics.items()
+             if isinstance(v, (int, float))}, step=step)
+
+
+class _CometSink:
+    """Gated comet mirror (configs/logger/comet.yaml)."""
+
+    def __init__(self, kwargs: Optional[Dict] = None):
+        import comet_ml
+
+        self._exp = comet_ml.Experiment(**(kwargs or {}))
+
+    def log(self, step: int, metrics: Dict[str, float]) -> None:
+        self._exp.log_metrics(metrics, step=step)
+
+
+class _NeptuneSink:
+    """Gated neptune mirror (configs/logger/neptune.yaml)."""
+
+    def __init__(self, kwargs: Optional[Dict] = None):
+        import neptune
+
+        self._run = neptune.init_run(**(kwargs or {}))
+
+    def log(self, step: int, metrics: Dict[str, float]) -> None:
+        for k, v in metrics.items():
+            if isinstance(v, (int, float)):
+                self._run[k].append(v, step=step)
+
+
+class _AimSink:
+    """Gated aim mirror (configs/logger/aim.yaml)."""
+
+    def __init__(self, kwargs: Optional[Dict] = None):
+        import aim
+
+        self._run = aim.Run(**(kwargs or {}))
+
+    def log(self, step: int, metrics: Dict[str, float]) -> None:
+        for k, v in metrics.items():
+            if isinstance(v, (int, float)):
+                self._run.track(v, name=k, step=step)
+
+
+_GATED_SINKS = {
+    "wandb": _WandbSink,
+    "mlflow": _MlflowSink,
+    "comet": _CometSink,
+    "neptune": _NeptuneSink,
+    "aim": _AimSink,
+}
+
+
 class MetricLogger:
-    """Appends metric dicts to a CSV (union-of-keys header managed lazily);
-    mirrors to wandb when available and configured."""
+    """Multiplexing metric logger (the reference's logger group,
+    configs/logger/*.yaml incl. many_loggers.yaml).
+
+    Always appends to a CSV (union-of-keys header managed lazily,
+    csv.yaml); `sinks` attaches additional backends by name:
+    "tensorboard" (self-contained event writer — works without the
+    tensorboard package, utils/tb_writer.py) and the gated third-party
+    mirrors wandb/mlflow/comet/neptune/aim (skipped with a warning when the
+    package is missing)."""
 
     def __init__(self, csv_path: str, use_wandb: bool = False,
-                 wandb_kwargs: Optional[Dict] = None):
+                 wandb_kwargs: Optional[Dict] = None,
+                 sinks: Optional[Sequence[str]] = None,
+                 sink_kwargs: Optional[Dict[str, Dict]] = None):
         self.csv_path = csv_path
         os.makedirs(os.path.dirname(csv_path) or ".", exist_ok=True)
         self._fieldnames = None
@@ -59,15 +145,32 @@ class MetricLogger:
                 header = next(csv.reader(f), None)
             if header:
                 self._fieldnames = list(header)
-        self._wandb = None
-        if use_wandb:
-            try:
-                import wandb
 
-                self._wandb = wandb
-                wandb.init(**(wandb_kwargs or {"project": "fast3r_tpu"}))
-            except ImportError:
-                pass
+        names = list(sinks or [])
+        if use_wandb and "wandb" not in names:  # backward compat
+            names.append("wandb")
+        self._sinks = []
+        if _rank() == 0:
+            kw = sink_kwargs or {}
+            for name in names:
+                if name == "csv":
+                    continue  # always on
+                try:
+                    if name == "tensorboard":
+                        from fast3r_tpu.utils.tb_writer import TBEventWriter
+
+                        logdir = kw.get("tensorboard", {}).get(
+                            "logdir",
+                            os.path.join(os.path.dirname(csv_path) or ".",
+                                         "tensorboard"))
+                        self._sinks.append(TBEventWriter(logdir))
+                    elif name in _GATED_SINKS:
+                        self._sinks.append(_GATED_SINKS[name](kw.get(name)))
+                    else:
+                        raise ValueError(f"unknown metric sink {name!r}")
+                except ImportError as e:
+                    logging.getLogger(__name__).warning(
+                        "metric sink %r unavailable (%s) — skipping", name, e)
 
     def log(self, **metrics: Any) -> None:
         if _rank() != 0:
@@ -79,8 +182,14 @@ class MetricLogger:
         with open(self.csv_path, "a", newline="") as f:
             writer = csv.DictWriter(f, fieldnames=self._fieldnames)
             writer.writerow(metrics)
-        if self._wandb is not None:
-            self._wandb.log(metrics)
+        step = int(metrics.get("step", 0))
+        scalars = {k: float(v) for k, v in metrics.items()
+                   if isinstance(v, (int, float))}
+        for sink in self._sinks:
+            if hasattr(sink, "add_scalars"):  # TBEventWriter
+                sink.add_scalars(step, scalars)
+            else:
+                sink.log(step, scalars)
 
     def _rewrite_with_fields(self, metrics: Dict) -> None:
         old_rows = []

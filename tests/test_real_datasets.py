@@ -11,6 +11,7 @@ import PIL.Image
 import pytest
 
 from fast3r_tpu.data.dsl import build_dataset
+from fast3r_tpu.data.exr import write_exr
 
 H_SRC, W_SRC = 96, 128
 RES = [(64, 48)]
@@ -290,6 +291,8 @@ def blendedmvs_multiview_root(tmp_path):
         for i in range(6):
             name = f"{i:08d}"
             _write_jpg(str(sdir / f"{name}.jpg"), rng)
+            write_exr(str(sdir / f"{name}.exr"),
+                      np.full((H_SRC, W_SRC), 2.0, np.float32))
             np.savez(sdir / f"{name}.npz", intrinsics=_intrinsics(),
                      R_cam2world=np.eye(3, dtype=np.float32),
                      t_cam2world=np.float32([0.1 * i, 0, 0]))
@@ -324,15 +327,8 @@ def test_blendedmvs_multiview_pairs_parsing(blendedmvs_multiview_root,
     )
     assert list(ds_val.scene_to_indices) == [f"{0x5B:08x}{10:016x}"]
 
-    # cv2 in this env cannot write .exr fixtures; patch the depth read only
-    real_imread = mv.imread_cv2
-
-    def fake_imread(path, *a, **k):
-        if path.endswith(".exr"):
-            return np.full((H_SRC, W_SRC), 2.0, np.float32)
-        return real_imread(path, *a, **k)
-
-    monkeypatch.setattr(mv, "imread_cv2", fake_imread)
+    # depth comes from REAL .exr bytes (fixture writes them via the bundled
+    # codec; imread_cv2 decodes them through its EXR fallback)
     views = ds[(0, 0)]
     assert len(views) == 3
     assert views[0]["img"].shape == (48, 64, 3)
@@ -387,6 +383,8 @@ def waymo_root(tmp_path, monkeypatch):
     frames = [f"cam1_{i:03d}" for i in range(4)]
     for i, name in enumerate(frames):
         _write_jpg(str(root / scene / f"{name}.jpg"), rng)
+        write_exr(str(root / scene / f"{name}.exr"),
+                  np.full((H_SRC, W_SRC), 3.0, np.float32))
         np.savez(root / scene / f"{name}.npz",
                  intrinsics=_intrinsics(), cam2world=_pose(i))
     pairs = np.array([[0, 0, 1], [0, 1, 2], [0, 2, 3]])
@@ -395,17 +393,7 @@ def waymo_root(tmp_path, monkeypatch):
     return str(root)
 
 
-def test_waymo_pairwise_loader(waymo_root, monkeypatch):
-    import fast3r_tpu.data.datasets.pairwise_legacy as pl
-
-    real_imread = pl.imread_cv2
-
-    def fake_imread(path, *a, **k):  # cv2 here cannot write .exr fixtures
-        if path.endswith(".exr"):
-            return np.full((H_SRC, W_SRC), 3.0, np.float32)
-        return real_imread(path, *a, **k)
-
-    monkeypatch.setattr(pl, "imread_cv2", fake_imread)
+def test_waymo_pairwise_loader(waymo_root):
     ds = build_dataset(
         f"Waymo(ROOT='{waymo_root}', resolution={RES!r}, seed=777)"
     )
@@ -431,22 +419,14 @@ def staticthings_root(tmp_path):
         for i in range(2):
             _write_jpg(str(base / f"{i:04d}_clean.jpg"), rng)
             _write_jpg(str(base / f"{i:04d}_final.jpg"), rng)
+            write_exr(str(base / f"{i:04d}.exr"),
+                      np.full((H_SRC, W_SRC), 2.0, np.float32))
             np.savez(base / f"{i:04d}.npz",
                      intrinsics=_intrinsics(), cam2world=_pose(i))
     return str(root)
 
 
-def test_staticthings3d_pairwise_loader(staticthings_root, monkeypatch):
-    import fast3r_tpu.data.datasets.pairwise_legacy as pl
-
-    real_imread = pl.imread_cv2
-
-    def fake_imread(path, *a, **k):
-        if path.endswith(".exr"):
-            return np.full((H_SRC, W_SRC), 2.0, np.float32)
-        return real_imread(path, *a, **k)
-
-    monkeypatch.setattr(pl, "imread_cv2", fake_imread)
+def test_staticthings3d_pairwise_loader(staticthings_root):
     ds = build_dataset(
         f"StaticThings3D(ROOT='{staticthings_root}', resolution={RES!r}, "
         f"seed=777)"
@@ -514,22 +494,14 @@ def megadepth_root(tmp_path):
     sdir = root / "0001" / "dense0"
     for i in range(n):
         _write_jpg(str(sdir / f"im{i:04d}.jpg"), rng)
+        write_exr(str(sdir / f"im{i:04d}.exr"),
+                  np.full((H_SRC, W_SRC), 4.0, np.float32))
         np.savez(sdir / f"im{i:04d}.npz", intrinsics=_intrinsics(),
                  cam2world=_pose(i))
     return str(root)
 
 
-def test_megadepth_multiview_loader(megadepth_root, monkeypatch):
-    import fast3r_tpu.data.datasets.multiview as mv
-
-    real_imread = mv.imread_cv2
-
-    def fake_imread(path, *a, **k):  # cv2 here cannot write .exr fixtures
-        if path.endswith(".exr"):
-            return np.full((H_SRC, W_SRC), 4.0, np.float32)
-        return real_imread(path, *a, **k)
-
-    monkeypatch.setattr(mv, "imread_cv2", fake_imread)
+def test_megadepth_multiview_loader(megadepth_root):
     ds = build_dataset(
         f"MegaDepth_Multiview(split='train', num_views=3, window_size=8, "
         f"num_samples_per_window=2, ROOT='{megadepth_root}', "
@@ -552,6 +524,8 @@ def habitat_root(tmp_path):
     os.makedirs(sdir, exist_ok=True)
     for i in range(1, 6):  # file indices 1..5
         _write_jpg(str(sdir / f"key_{i}.jpeg"), rng)
+        write_exr(str(sdir / f"key_{i}_depth.exr"),
+                  np.full((H_SRC, W_SRC), 2.5, np.float32))
         with open(sdir / f"key_{i}_camera_params.json", "w") as f:
             json.dump({
                 "camera_intrinsics": _intrinsics().tolist(),
@@ -562,18 +536,7 @@ def habitat_root(tmp_path):
     return str(root)
 
 
-def test_habitat_multiview_loader(habitat_root, monkeypatch):
-    import fast3r_tpu.data.datasets.multiview as mv
-    import cv2 as _cv2
-
-    real_imread_cv2 = _cv2.imread
-
-    def fake_cv2_imread(path, *a, **k):
-        if str(path).endswith(".exr"):
-            return np.full((H_SRC, W_SRC), 2.5, np.float32)
-        return real_imread_cv2(path, *a, **k)
-
-    monkeypatch.setattr(_cv2, "imread", fake_cv2_imread)
+def test_habitat_multiview_loader(habitat_root):
     ds = build_dataset(
         f"Habitat_Multiview(1000, split='train', num_views=3, "
         f"ROOT='{habitat_root}', resolution={RES!r}, seed=777)"

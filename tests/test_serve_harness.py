@@ -1,0 +1,248 @@
+"""Fake-module harness for the gated interactive serving path (VERDICT r1
+item 7): gradio/viser are not installable in this environment, so stub UI
+modules (the tests/ref_loader stub technique) drive serve/demo.py's
+callback graph and serve/viser_server.py end-to-end in-process."""
+
+import json
+import os
+import sys
+import types
+
+import numpy as np
+import PIL.Image
+import pytest
+
+import jax
+
+
+# ---------------------------------------------------------------------------
+# stub gradio
+# ---------------------------------------------------------------------------
+
+def _make_fake_gradio():
+    gr = types.ModuleType("gradio")
+
+    class Component:
+        def __init__(self, *a, **k):
+            pass
+
+    class Blocks:
+        def __init__(self, *a, **k):
+            self.clicks = []
+
+        def __enter__(self):
+            gr._current = self
+            return self
+
+        def __exit__(self, *a):
+            gr._current = None
+
+        def launch(self, **k):
+            self.launched = True
+
+    class Button(Component):
+        def click(self, fn, inputs, outputs):
+            gr._current.clicks.append((fn, inputs, outputs))
+
+    class Row(Component):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            pass
+
+    for name in ("Markdown", "File", "Video", "Slider", "Model3D", "Textbox"):
+        setattr(gr, name, type(name, (Component,), {}))
+    gr.Blocks, gr.Button, gr.Row = Blocks, Button, Row
+    gr.Request = object
+    gr._current = None
+    return gr
+
+
+# ---------------------------------------------------------------------------
+# stub viser (records scene objects; functional slider callback)
+# ---------------------------------------------------------------------------
+
+def _mat_to_wxyz(R):
+    R = np.asarray(R, np.float64)
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        return np.array([0.25 * s, (R[2, 1] - R[1, 2]) / s,
+                         (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s])
+    i = int(np.argmax(np.diag(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 1e-12)) * 2
+    q = np.zeros(4)
+    q[0] = (R[k, j] - R[j, k]) / s
+    q[1 + i] = 0.25 * s
+    q[1 + j] = (R[j, i] + R[i, j]) / s
+    q[1 + k] = (R[k, i] + R[i, k]) / s
+    return q
+
+
+def _make_fake_viser():
+    viser = types.ModuleType("viser")
+    tf = types.ModuleType("viser.transforms")
+
+    class SO3:
+        def __init__(self, wxyz):
+            self.wxyz = wxyz
+
+        @classmethod
+        def from_matrix(cls, R):
+            return cls(_mat_to_wxyz(R))
+
+    tf.SO3 = SO3
+
+    class Handle:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    class Scene:
+        def __init__(self):
+            self.point_clouds = []
+            self.frustums = []
+
+        def add_point_cloud(self, name, points, colors, **kw):
+            h = Handle(name=name, points=points, colors=colors)
+            self.point_clouds.append(h)
+            return h
+
+        def add_camera_frustum(self, name, **kw):
+            h = Handle(name=name, **kw)
+            self.frustums.append(h)
+            return h
+
+    class Slider(Handle):
+        def __init__(self, name, lo, hi, step, value):
+            super().__init__(name=name, value=value)
+            self.callbacks = []
+
+        def on_update(self, fn):
+            self.callbacks.append(fn)
+            return fn
+
+    class Gui:
+        def __init__(self):
+            self.sliders = []
+
+        def add_slider(self, name, lo, hi, step, value):
+            s = Slider(name, lo, hi, step, value)
+            self.sliders.append(s)
+            return s
+
+    class ViserServer:
+        instances = []
+
+        def __init__(self, port=None, **kw):
+            self.port = port
+            self.scene = Scene()
+            self.gui = Gui()
+            ViserServer.instances.append(self)
+
+    viser.ViserServer = ViserServer
+    viser.transforms = tf
+    sys.modules["viser.transforms"] = tf
+    return viser
+
+
+@pytest.fixture()
+def fake_ui(monkeypatch):
+    gr = _make_fake_gradio()
+    viser = _make_fake_viser()
+    monkeypatch.setitem(sys.modules, "gradio", gr)
+    monkeypatch.setitem(sys.modules, "viser", viser)
+    monkeypatch.setitem(sys.modules, "viser.transforms", viser.transforms)
+    return gr, viser
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    from fast3r_tpu.inference import Fast3R
+    from fast3r_tpu.models.fast3r import Fast3RConfig
+
+    return Fast3R.from_random(Fast3RConfig.tiny())
+
+
+@pytest.fixture(scope="module")
+def image_files(tmp_path_factory):
+    rng = np.random.default_rng(3)
+    d = tmp_path_factory.mktemp("demo_imgs")
+    paths = []
+    for i in range(2):
+        p = str(d / f"img{i}.jpg")
+        PIL.Image.fromarray(
+            rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)).save(p)
+        paths.append(p)
+    return paths
+
+
+def test_demo_callback_graph_executes(fake_ui, tiny_model, image_files,
+                                      monkeypatch, tmp_path):
+    """Drives the full demo callback graph: build UI -> reconstruct click
+    (load -> inference -> align -> assemble -> PLY -> viser session) ->
+    feedback click (jsonl append)."""
+    gr, _ = fake_ui
+    from fast3r_tpu.serve import demo as demo_mod
+    from fast3r_tpu.serve.server_manager import ViserServerManager
+
+    started = []
+    monkeypatch.setattr(
+        ViserServerManager, "start_server",
+        lambda self, sid, *a, **k: started.append(sid) or 8020)
+    feedback_path = str(tmp_path / "feedback.jsonl")
+    monkeypatch.setattr(demo_mod.tempfile, "gettempdir",
+                        lambda: str(tmp_path))
+
+    demo = demo_mod.create_demo(tiny_model)
+    assert len(demo.clicks) == 2
+    process_images, _, _ = demo.clicks[0]
+    submit_feedback, _, _ = demo.clicks[1]
+
+    class F:  # gradio file object
+        def __init__(self, name):
+            self.name = name
+
+    ply, status = process_images([F(p) for p in image_files], None, 10.0)
+    assert ply is not None and os.path.exists(ply)
+    assert "2 views" in status and "viser on port 8020" in status
+    assert started == ["default"]
+    # empty input handled
+    ply2, msg = process_images([], None, 10.0)
+    assert ply2 is None and "upload" in msg
+
+    msg = submit_feedback("great tool")
+    assert "saved" in msg
+    rec = json.loads(
+        open(os.path.join(str(tmp_path),
+                          "fast3r_tpu_feedback.jsonl")).read().splitlines()[0])
+    assert rec["text"] == "great tool"
+
+
+def test_viser_server_scene_and_slider(fake_ui, tiny_model, image_files):
+    """run_viser_server end-to-end on stub viser: per-frame point clouds,
+    PnP camera frustums, and a functional confidence-slider callback."""
+    _, viser = fake_ui
+    from fast3r_tpu.inference import inference
+    from fast3r_tpu.serve.viser_server import run_viser_server
+    from fast3r_tpu.utils.image import load_images
+
+    views = load_images(image_files, size=64, verbose=False)
+    result = inference(views, tiny_model, verbose=False)
+    server = run_viser_server(result, port=8042, blocking=False)
+
+    assert server.port == 8042
+    assert len(server.scene.point_clouds) == len(views)
+    assert len(server.scene.frustums) == len(views)
+    for h in server.scene.frustums:
+        assert np.all(np.isfinite(h.wxyz)) and np.all(np.isfinite(h.position))
+        assert 0 < h.fov < np.pi
+    # slider callback refilters the point clouds in place
+    (slider,) = server.gui.sliders
+    before = [h.points.shape for h in server.scene.point_clouds]
+    slider.value = 80.0
+    slider.callbacks[0](None)
+    after = [h.points.shape for h in server.scene.point_clouds]
+    assert all(a[-1] == 3 for a in after)
+    assert sum(a[0] for a in after) < sum(b[0] for b in before)
