@@ -144,12 +144,19 @@ def ring_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 def make_seq_sharded_forward(cfg, mesh: Mesh, num_views: int,
                              image_hw: Tuple[int, int],
                              axis: str = "seq",
-                             head_chunk_views: Optional[int] = None):
+                             head_chunk_views: Optional[int] = None,
+                             ring_impl: str = "xla"):
     """Build a jitted forward over `mesh` with views sharded on `axis`.
 
     Input imgs (1, V, H, W, 3) with V divisible by the axis size; outputs
     sharded the same way.  Encoder and heads are local to each device's
     views; the fusion decoder uses ring attention over the full sequence.
+
+    ring_impl: "xla" = ppermute between flash-kernel calls (double-buffered
+    schedule, overlap at the XLA scheduler's discretion; differentiable);
+    "rdma" = the in-kernel interconnect ring (parallel/ring_rdma.py) with
+    structural transfer/compute overlap (forward-only — this builder is the
+    inference path, so that is sufficient).
     """
     n = mesh.shape[axis]
     assert num_views % n == 0, f"views {num_views} % mesh {n} != 0"
@@ -157,7 +164,13 @@ def make_seq_sharded_forward(cfg, mesh: Mesh, num_views: int,
     H, W = image_hw
     ps = cfg.encoder.patch_size
     Pq = (H // ps) * (W // ps)
-    ring = functools.partial(ring_flash_attention, axis_name=axis)
+    if ring_impl == "rdma":
+        from fast3r_tpu.parallel.ring_rdma import ring_flash_attention_rdma
+
+        ring = functools.partial(ring_flash_attention_rdma, axis_name=axis,
+                                 axis_size=n)
+    else:
+        ring = functools.partial(ring_flash_attention, axis_name=axis)
 
     def ring_attn(q, k, v, scale):
         return ring(q, k, v, scale)

@@ -18,6 +18,7 @@ reference multiview_dust3r_module.py:1010-1017).
 
 from __future__ import annotations
 
+import re
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -291,6 +292,14 @@ def params_to_torch_state_dict(
         sd[prefix + ".weight"] = w
         if b is not None:
             sd[prefix + ".bias"] = b
+    # the reference DPT aliases scratch.layer{i}_rn in a scratch.layer_rn
+    # ModuleList (dpt_block.py:79-86), so its state_dict() carries BOTH key
+    # spellings for the same storage; emit the aliases too so the export
+    # strict-loads into the reference model
+    for key in list(sd):
+        m = re.match(r"(.*scratch\.)layer(\d)_rn(\..*)", key)
+        if m:
+            sd[f"{m.group(1)}layer_rn.{int(m.group(2)) - 1}{m.group(3)}"] = sd[key]
     return sd
 
 

@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="also time one seq-sharded training step")
     ap.add_argument("--head-chunk", type=int, default=25)
+    ap.add_argument("--ring-impl", default="xla", choices=["xla", "rdma"],
+                    help="decoder ring: ppermute between flash calls (xla) "
+                         "or the in-kernel RDMA ring (rdma, forward only)")
     args = ap.parse_args()
 
     import jax
@@ -73,7 +76,8 @@ def main():
         np.random.default_rng(0).standard_normal((1, V, H, W, 3)), dtype), sh)
 
     fwd = make_seq_sharded_forward(cfg, mesh, num_views=V, image_hw=(H, W),
-                                   head_chunk_views=args.head_chunk)
+                                   head_chunk_views=args.head_chunk,
+                                   ring_impl=args.ring_impl)
 
     def checksum(p, x):
         return fwd(p, x)["conf"].astype(jnp.float32).sum()

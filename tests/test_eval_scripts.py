@@ -91,3 +91,51 @@ def test_robustmvd_eval_end_to_end(tiny_hf_checkpoint, tmp_path):
     m = res["per_scene"]["scene0"]
     assert {"absrel", "inliers_1.03"} <= set(m)
     assert all(np.isfinite(v) for v in m.values())
+
+
+def test_validate_published_end_to_end(tmp_path):
+    """VERDICT r1 item 6: the one-command published-weight runner executes
+    configs 1-2 on a tiny checkpoint (incl. the torch cross-implementation
+    parity check) and reports 3-4 as skipped without data roots.
+
+    Uses a DEEP-decoder tiny config: the reference head factory asserts
+    decoder depth > 9 (reference fast3r.py:137), so the regular tiny config
+    cannot instantiate the torch side of the parity check."""
+    import validate_published
+
+    from fast3r_tpu.inference import Fast3R
+    from fast3r_tpu.models.decoder import DecoderConfig
+    from fast3r_tpu.models.dpt_head import DPTHeadConfig
+    from fast3r_tpu.models.encoder import EncoderConfig
+    from fast3r_tpu.models.fast3r import Fast3RConfig
+    from fast3r_tpu.utils.checkpoint_utils import convert_checkpoint_to_hf
+
+    # decoder depth must be >9 for the reference head factory AND the head
+    # channel dims must be the reference DPT defaults (create_dpt_head
+    # hardcodes 96/192/384/768 + feature 256) for the state dict to load
+    cfg = Fast3RConfig(
+        encoder=EncoderConfig(img_size=64, embed_dim=64, num_heads=2, depth=2),
+        decoder=DecoderConfig(enc_embed_dim=64, embed_dim=64, num_heads=2,
+                              depth=12),
+        head=DPTHeadConfig(dim_tokens=(64, 64, 64, 64)),
+        with_local_head=True,
+    )
+    ckpt = str(tmp_path / "tiny_deep_hf")
+    convert_checkpoint_to_hf(Fast3R.from_random(cfg), ckpt)
+
+    out = str(tmp_path / "report.json")
+    rc = validate_published.main([
+        ckpt, "--size", "96", "--out", out, "--pose-agreement-min", "-1",
+    ])
+    report = json.load(open(out))
+    assert rc == 0, report
+    assert report["overall"] == "pass"
+    c1 = report["config1_two_view"]
+    assert c1["status"] == "pass"
+    # the SAME weights loaded into the reference torch model must agree
+    assert c1.get("torch_parity_max_rel", 1.0) < 5e-3, c1
+    c2 = report["config2_eight_view_pnp"]
+    assert c2["status"] == "pass", c2
+    assert np.isfinite(c2["jax_vs_cv2_RRA_at_15"])
+    assert report["config3_re10k"]["status"].startswith("skipped")
+    assert report["config4_robustmvd"]["status"].startswith("skipped")
