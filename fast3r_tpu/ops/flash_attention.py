@@ -37,12 +37,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+# exp2 trick: the VPU's native exponential is base-2; folding log2(e) into
+# the softmax scale turns every exp() in the inner loop into exp2() and
+# saves the x*log2e multiply per element.  At D=64 the (bq, bk) elementwise
+# work is on the same order as the half-MXU matmuls, so this shows up
+# directly in the kernel's TFLOP/s.  The interface lse stays natural-log.
+LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
 # Forward block sizes tuned on TPU v5e at D=64 (see BENCHMARKS.md):
 # symmetric (512,512) -> 11.5 TFLOP/s (grid overhead), (1024,1024) -> 57.7 at
 # S=15360; ASYMMETRIC small-q/large-kv wins at long S ((512,1536) -> 69 vs 44
-# TFLOP/s at S=192000: fewer kv-loop iterations, larger DMAs) and is neutral
-# at short S.  Backward keeps more live buffers per program -> smaller blocks.
-MAX_BLOCK_Q = 512
+# TFLOP/s at S=192000: fewer kv-loop iterations, larger DMAs).  Round-2 exp2
+# re-sweep at S=15360: (512,1536) 69.0, (1024,1536) 70.7 TFLOP/s; blocks
+# with bq*bk >= 1024x2560 fail to compile (fp32 score tile exceeds VMEM).
+# Backward keeps more live buffers per program -> smaller blocks.
+MAX_BLOCK_Q = 1024
 MAX_BLOCK_KV = 1536
 MAX_BLOCK_Q_BWD = 512
 MAX_BLOCK_KV_BWD = 512
@@ -87,15 +96,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     k = k_ref[0, 0]  # (bk, D)
     v = v_ref[0, 0]
 
+    # scores in the log2 domain (exp2 trick, see LOG2E note)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (bq, bk) fp32
+    ) * (scale * LOG2E)  # (bq, bk) fp32
 
     m_prev = m_scr[:, :1]                      # (bq, 1)
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)            # (bq, 1)
-    p = jnp.exp(s - m_new)                     # (bq, bk) fp32
+    alpha = jnp.exp2(m_prev - m_new)           # (bq, 1)
+    p = jnp.exp2(s - m_new)                    # (bq, bk) fp32
 
     l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc = acc_scr[:] * alpha + jax.lax.dot_general(
@@ -111,7 +121,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     def _finish():
         l = l_scr[:, :1]
         o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
-        lse_ref[0, 0] = m_scr[:, :1] + jnp.log(l)
+        # natural-log lse at the interface
+        lse_ref[0, 0] = (m_scr[:, :1] + jnp.log2(l)) * LN2
 
 
 def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float):
@@ -124,16 +135,16 @@ def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float):
     v = v_ref[:, 0]
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) * scale  # (bb, S, Skv)
+    ) * (scale * LOG2E)  # (bb, S, Skv), log2 domain (exp2 trick)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) / l
     o_ref[:, 0] = o.astype(o_ref.dtype)
-    lse_ref[:, 0] = m + jnp.log(l)
+    lse_ref[:, 0] = (m + jnp.log2(l)) * LN2
 
 
 def _pick_batch_block(b: int, s: int, skv: int, vmem_budget=1024 * 1024):
@@ -236,8 +247,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    p = jnp.exp(s - lse)  # (bq, bk)
+    ) * (scale * LOG2E)
+    p = jnp.exp2(s - lse * LOG2E)  # (bq, bk); lse is natural-log
 
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -273,8 +284,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    p = jnp.exp(s - lse)  # (bq, bk)
+    ) * (scale * LOG2E)
+    p = jnp.exp2(s - lse * LOG2E)  # (bq, bk); lse is natural-log
 
     # dv += p^T @ do
     dv_scr[:] += jax.lax.dot_general(

@@ -55,7 +55,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fast3r_tpu.ops.flash_attention import NEG_INF, _interpret, _pick_block
+from fast3r_tpu.ops.flash_attention import (
+    LN2,
+    LOG2E,
+    NEG_INF,
+    _interpret,
+    _pick_block,
+)
 
 MAX_BLOCK_Q = 512
 MAX_BLOCK_KV = 1024
@@ -167,13 +173,14 @@ def _ring_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
 
         k = kv_vmem_k[slot]
         v = kv_vmem_v[slot]
+        # log2-domain scores (exp2 trick, ops/flash_attention.py LOG2E note)
         s_ = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32) * (scale * LOG2E)
         m_prev = m_scr[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s_, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s_ - m_new)
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s_ - m_new)
         l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc_scr[:] * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -187,7 +194,7 @@ def _ring_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
 
     l = l_scr[:, :1]
     o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
-    lse_ref[0] = m_scr[:, :1] + jnp.log(l)
+    lse_ref[0] = (m_scr[:, :1] + jnp.log2(l)) * LN2  # natural-log interface
 
     # ---- drain send semaphores before kernel exit ---------------------
     if n > 1:
