@@ -71,6 +71,9 @@ class DecoderConfig:
     attn_impl: str = "xla"
     block_ln_eps: float = 1e-5  # torch nn.LayerNorm default (fast3r.py:683)
     final_ln_eps: float = 1e-6
+    # run blocks with LN/GELU/residual fused into the matmul kernels on TPU
+    # (nn/fused_block.py); falls back automatically off-TPU / untileable shapes
+    fused_blocks: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -157,10 +160,16 @@ def decoder_forward(
 
     scale = cfg.attn_scale(is_training)
     inner_hooks = [h for h in cfg.hooks if 0 < h < cfg.depth]
+    from fast3r_tpu.nn.fused_block import fused_block_supported
+
+    fused = (cfg.fused_blocks and jax.default_backend() == "tpu"
+             and fused_block_supported(
+                 x.shape[:2], cfg.embed_dim,
+                 int(cfg.embed_dim * cfg.mlp_ratio)))
     x, hooked = run_vit_stack(
         params["blocks"], x, cfg.num_heads, scale,
         rope_cos_sin=None, attn_impl=cfg.attn_impl, ln_eps=cfg.block_ln_eps,
-        hooks=inner_hooks, depth=cfg.depth, remat=remat,
+        hooks=inner_hooks, depth=cfg.depth, remat=remat, fused=fused,
     )
     outputs.update(hooked)
     outputs[cfg.depth] = layernorm(params["norm"], x, cfg.final_ln_eps)

@@ -36,6 +36,7 @@ from fast3r_tpu.nn.layers import (
     mlp,
 )
 from fast3r_tpu.ops.attention import dot_product_attention
+from fast3r_tpu.ops.resize import resize_bicubic_torch
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,13 +74,17 @@ def init_dino_encoder(key, cfg: DinoEncoderConfig, dtype=jnp.float32) -> Params:
 def _interp_pos_embed(pos_embed: jnp.ndarray, grid_hw: Tuple[int, int],
                       src_size: int) -> jnp.ndarray:
     """Bicubic-interpolate the learned patch pos embeds to the target grid
-    (DINOv2 interpolate_pos_encoding)."""
+    with hub-DINOv2 numerics (vision_transformer.py interpolate_pos_encoding):
+    torch bicubic A=-0.75, align_corners=False, no antialias, and the
+    ``scale_factor=(n_out + 0.1)/M`` coordinate mapping (interpolate_offset).
+    jax.image.resize would diverge (it uses the A=-0.5 cubic kernel)."""
     cls_pe = pos_embed[:, :1]
     patch_pe = pos_embed[:, 1:].reshape(1, src_size, src_size, -1)
     h, w = grid_hw
     if (h, w) != (src_size, src_size):
-        patch_pe = jax.image.resize(
-            patch_pe, (1, h, w, patch_pe.shape[-1]), method="bicubic")
+        patch_pe = resize_bicubic_torch(
+            patch_pe, h, w,
+            scale_factors=((h + 0.1) / src_size, (w + 0.1) / src_size))
     return jnp.concatenate([cls_pe, patch_pe.reshape(1, h * w, -1)], axis=1)
 
 
@@ -130,6 +135,13 @@ def dino_encoder_forward(
     # the 24-block stack then runs ONCE on the selected tokens
     land = embed(img, h, w)                               # (B, 1+h*w, D)
     port = embed(jnp.swapaxes(img, 1, 2), w, h)           # (B, 1+w*h, D)
+    # un-transpose the portrait patch grid to STORAGE order — the reference
+    # returns portrait features re-transposed (fast3r.py:617-632); doing it
+    # before the stack is equivalent (per-token ops + full attention are
+    # permutation-equivariant) and lets one stack serve both branches
+    tok_p = port[:, 1:].reshape(B, w, h, -1)
+    tok_p = jnp.swapaxes(tok_p, 1, 2).reshape(B, h * w, -1)
+    port = jnp.concatenate([port[:, :1], tok_p], axis=1)
     sel3 = is_portrait[:, None, None]
     x = jnp.where(sel3, port, land)
 
@@ -147,7 +159,11 @@ def dino_encoder_forward(
     sel = sel3
 
     pos_land = jnp.broadcast_to(position_grid(h, w)[None], (B, h * w, 2))
-    pos_port = jnp.broadcast_to(position_grid(w, h)[None], (B, w * h, 2))
+    # portrait positions: true-orientation (y, x) values, storage sequence
+    # order (matching the token un-transpose above / reference :627-632)
+    pp = position_grid(w, h).reshape(w, h, 2)
+    pos_port = jnp.broadcast_to(
+        jnp.swapaxes(pp, 0, 1).reshape(h * w, 2)[None], (B, h * w, 2))
     pos = jnp.where(sel, pos_port, pos_land)
     return tokens, pos
 

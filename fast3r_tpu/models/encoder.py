@@ -49,6 +49,9 @@ class EncoderConfig:
     rope_base: float = 100.0  # pos_embed="RoPE100"
     attn_impl: str = "xla"
     ln_eps: float = 1e-6
+    # run blocks with LN/GELU/residual fused into the matmul kernels on TPU
+    # (nn/fused_block.py); falls back automatically off-TPU / untileable shapes
+    fused_blocks: bool = True
 
 
 def init_encoder(key, cfg: EncoderConfig, dtype=jnp.float32) -> Params:
@@ -94,9 +97,15 @@ def encoder_forward(
     head_dim = cfg.embed_dim // cfg.num_heads
     cos, sin = rope2d_cos_sin(pos, head_dim, cfg.rope_base)
     scale = head_dim ** -0.5
+    from fast3r_tpu.nn.fused_block import fused_block_supported
+
+    fused = (cfg.fused_blocks and jax.default_backend() == "tpu"
+             and fused_block_supported(
+                 x.shape[:2], cfg.embed_dim,
+                 int(cfg.embed_dim * cfg.mlp_ratio)))
     x, _ = run_vit_stack(
         params["blocks"], x, cfg.num_heads, scale,
         rope_cos_sin=(cos, sin), attn_impl=cfg.attn_impl, ln_eps=cfg.ln_eps,
-        depth=cfg.depth, remat=remat,
+        depth=cfg.depth, remat=remat, fused=fused,
     )
     return layernorm(params["norm"], x, cfg.ln_eps), pos

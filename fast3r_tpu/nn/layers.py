@@ -197,7 +197,17 @@ def vit_block(
     rope_cos_sin=None,
     attn_impl: str = "xla",
     ln_eps: float = 1e-6,
+    fused: bool = False,
 ) -> jnp.ndarray:
+    """Pre-LN ViT block.  With ``fused=True`` the LN/GELU/residual elementwise
+    work runs inside the matmul kernels (nn/fused_block.py, TPU hot path);
+    numerics match the plain composition at input-dtype rounding and the
+    backward pass recomputes through the plain path."""
+    if fused:
+        from fast3r_tpu.nn.fused_block import fused_vit_block
+
+        return fused_vit_block(p, x, rope_cos_sin, num_heads, scale,
+                               attn_impl, ln_eps)
     x = x + attention_layer(
         p["attn"], layernorm(p["norm1"], x, ln_eps), num_heads, scale,
         rope_cos_sin, attn_impl,
@@ -234,6 +244,7 @@ def run_vit_stack(
     hooks: Sequence[int] = (),
     depth: Optional[int] = None,
     remat: bool = False,
+    fused: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[int, jnp.ndarray]]:
     """Run a stack of identical ViT blocks via lax.scan.
 
@@ -254,7 +265,7 @@ def run_vit_stack(
 
     block = partial(
         vit_block, num_heads=num_heads, scale=scale, rope_cos_sin=rope_cos_sin,
-        attn_impl=attn_impl, ln_eps=ln_eps,
+        attn_impl=attn_impl, ln_eps=ln_eps, fused=fused,
     )
     if remat:
         block = jax.checkpoint(block)

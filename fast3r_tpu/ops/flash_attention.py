@@ -62,6 +62,13 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _ones_width(d: int) -> int:
+    """Width of the ones block appended to v for the in-matmul row sum: pad
+    the PV output up to the next 128-lane boundary (free MXU lanes at D=64;
+    at most one extra output tile otherwise)."""
+    return 128 - (d % 128) if d % 128 else 128
+
+
 def _pick_block(s: int, max_block: int) -> int:
     """Largest block size dividing s, preferring multiples of 128 (full lane
     tiles), falling back to multiples of 8 (legal: the block's last dim is the
@@ -82,14 +89,24 @@ def _pick_block(s: int, max_block: int) -> int:
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-                *, scale: float, kv_steps: int):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr,
+                *, scale: float, kv_steps: int, d: int):
+    """Online-softmax forward step with the row-sum folded into the PV matmul.
+
+    At D < 128 the PV contraction's output uses only D of the MXU's 128
+    output lanes; extending v with a ones block (v_ext = [v | 1]) makes the
+    idle lanes accumulate the softmax row-sum l for free, removing the
+    serial VPU cross-lane sum pass.  acc and l then share one accumulator
+    (columns [:d] and [d:]) and one alpha rescale.  p is materialized once,
+    already in v.dtype (for bf16 inputs this halves the p tile traffic and
+    drops the separate cast pass; l is then accumulated from the SAME p the
+    PV matmul consumes, so o = (p@v)/(p@1) stays self-consistent).
+    """
     kv = pl.program_id(3)
 
     @pl.when(kv == 0)
     def _init():
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     q = q_ref[0, 0]  # (bq, D)
@@ -105,22 +122,20 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp2(m_prev - m_new)           # (bq, 1)
-    p = jnp.exp2(s - m_new)                    # (bq, bk) fp32
+    p = jnp.exp2(s - m_new).astype(v.dtype)    # (bq, bk), single pass
 
-    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    acc = acc_scr[:] * alpha + jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+    v_ext = jnp.concatenate(
+        [v, jnp.ones((v.shape[0], _ones_width(d)), v.dtype)], axis=-1)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p, v_ext, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
-    acc_scr[:] = acc
 
     @pl.when(kv == kv_steps - 1)
     def _finish():
-        l = l_scr[:, :1]
-        o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        l = acc_scr[:, d:d + 1]
+        o_ref[0, 0] = (acc_scr[:, :d] / l).astype(o_ref.dtype)
         # natural-log lse at the interface
         lse_ref[0, 0] = (m_scr[:, :1] + jnp.log2(l)) * LN2
 
@@ -133,26 +148,36 @@ def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float):
     q = q_ref[:, 0]  # (bb, S, D)
     k = k_ref[:, 0]
     v = v_ref[:, 0]
+    d = v.shape[-1]
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ) * (scale * LOG2E)  # (bb, S, Skv), log2 domain (exp2 trick)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp2(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+    p = jnp.exp2(s - m).astype(v.dtype)
+    # row-sum on the MXU via the ones-extended v (see _fwd_kernel docstring)
+    v_ext = jnp.concatenate(
+        [v, jnp.ones(v.shape[:-1] + (_ones_width(d),), v.dtype)], axis=-1)
+    acc = jax.lax.dot_general(
+        p, v_ext, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) / l
-    o_ref[:, 0] = o.astype(o_ref.dtype)
+    )
+    l = acc[..., d:d + 1]
+    o_ref[:, 0] = (acc[..., :d] / l).astype(o_ref.dtype)
     lse_ref[:, 0] = (m + jnp.log2(l)) * LN2
 
 
-def _pick_batch_block(b: int, s: int, skv: int, vmem_budget=1024 * 1024):
+SINGLE_KERNEL_BUDGET = 4 * 1024 * 1024
+
+
+def _pick_batch_block(b: int, s: int, skv: int,
+                      vmem_budget=SINGLE_KERNEL_BUDGET):
     """Largest divisor of b with bb * S * Skv * 4B (scores fp32) in budget.
 
-    Budget is conservative (1 MB for the scores tile): Mosaic double-buffers
-    the q/k/v blocks and keeps p/o fp32 intermediates on the same stack, and
-    the scoped-vmem limit is 16 MB total."""
+    Budget: 4 MB for the fp32 scores tile — with p in bf16 and the ones-
+    extended acc, the per-program live set at the budget is ~8 MB against the
+    16 MB VMEM (covers the encoder's S=768 per-view attention, whose XLA
+    alternative materializes 0.8 GB of fp32 logits to HBM per layer —
+    cost_analysis showed 2.95 GB/layer total, 3.6 ms, HBM-bound)."""
     cap = max(1, vmem_budget // max(4 * s * skv, 1))
     best = 1
     for bb in range(1, min(b, cap) + 1):
@@ -192,12 +217,12 @@ def _flash_forward_single(q, k, v, scale):
 def _flash_forward(q, k, v, scale, bq, bk) -> Tuple[jnp.ndarray, jnp.ndarray]:
     B, H, S, D = q.shape
     Skv = k.shape[2]
-    if S == bq and Skv == bk and 4 * S * Skv <= 1024 * 1024:
+    if S == bq and Skv == bk and 4 * S * Skv <= SINGLE_KERNEL_BUDGET:
         return _flash_forward_single(q, k, v, scale)
     grid = (B, H, S // bq, Skv // bk)
 
     o, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, kv_steps=Skv // bk),
+        functools.partial(_fwd_kernel, scale=scale, kv_steps=Skv // bk, d=D),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0)),
@@ -214,8 +239,7 @@ def _flash_forward(q, k, v, scale, bq, bk) -> Tuple[jnp.ndarray, jnp.ndarray]:
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, D), jnp.float32),
+            pltpu.VMEM((bq, D + _ones_width(D)), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",

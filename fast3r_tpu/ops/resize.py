@@ -55,3 +55,65 @@ def upsample2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
     """scale_factor=2 shortcut (output size = 2*input, torch floor(I*2))."""
     _, h, w, _ = x.shape
     return resize_bilinear_align_corners(x, 2 * h, 2 * w)
+
+
+# ---------------------------------------------------------------------------
+# torch-parity bicubic (A = -0.75), align_corners=False
+# ---------------------------------------------------------------------------
+
+def _cubic(x: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """torch's bicubic convolution kernel (Keys, A=-0.75 — NOT the A=-0.5 of
+    jax.image.resize; the two produce visibly different weights)."""
+    x = np.abs(x)
+    w = np.where(
+        x <= 1.0,
+        ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0,
+        np.where(x < 2.0, ((x - 5.0) * x + 8.0) * x - 4.0, 0.0) * a,
+    )
+    return w
+
+
+@functools.lru_cache(maxsize=256)
+def _bicubic_matrix(out_size: int, in_size: int,
+                    scale: float | None = None) -> np.ndarray:
+    """(out, in) matrix for torch ``F.interpolate(mode="bicubic",
+    align_corners=False, antialias=False)``.
+
+    scale: the torch ``scale_factor`` if given (src = (dst+0.5)/scale - 0.5;
+    hub DINOv2 passes (grid + 0.1)/M — pos_embed.py interpolate_offset), else
+    out/in (the ``size=`` form).
+    """
+    s = float(scale) if scale is not None else out_size / in_size
+    dst = np.arange(out_size, dtype=np.float64)
+    src = (dst + 0.5) / s - 0.5
+    lo = np.floor(src).astype(np.int64)
+    frac = src - lo
+    m = np.zeros((out_size, in_size), dtype=np.float64)
+    for tap in range(-1, 3):
+        w = _cubic(frac - tap)
+        idx = np.clip(lo + tap, 0, in_size - 1)
+        np.add.at(m, (np.arange(out_size), idx), w)
+    return m.astype(np.float32)
+
+
+def resize_bicubic_torch(
+    x: jnp.ndarray, out_h: int, out_w: int,
+    scale_factors: tuple[float, float] | None = None,
+) -> jnp.ndarray:
+    """Resize (B, H, W, C) with torch bicubic numerics (A=-0.75,
+    align_corners=False, no antialias), as two MXU matmuls.
+
+    scale_factors: optional (sh, sw) replicating torch's ``scale_factor=``
+    coordinate mapping (used by hub DINOv2's interpolate_pos_encoding with
+    its +0.1 offset); None means the ``size=`` mapping.
+    """
+    _, h, w, _ = x.shape
+    dtype = x.dtype
+    sh, sw = scale_factors if scale_factors is not None else (None, None)
+    if h != out_h or sh is not None:
+        mh = jnp.asarray(_bicubic_matrix(out_h, h, sh), dtype=dtype)
+        x = jnp.einsum("Oh,bhwc->bOwc", mh, x)
+    if w != out_w or sw is not None:
+        mw = jnp.asarray(_bicubic_matrix(out_w, w, sw), dtype=dtype)
+        x = jnp.einsum("Ow,bhwc->bhOc", mw, x)
+    return x

@@ -60,6 +60,7 @@ from fast3r_tpu.ops.flash_attention import (
     LOG2E,
     NEG_INF,
     _interpret,
+    _ones_width,
     _pick_block,
 )
 
@@ -91,7 +92,7 @@ def _hop(comm_k, comm_v, j, right, send_sem, recv_sem):
 
 def _ring_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
                      comm_k, comm_v, kv_vmem_k, kv_vmem_v,
-                     m_scr, l_scr, acc_scr,
+                     m_scr, acc_scr,
                      local_sem, recv_sem, send_sem, copy_sem,
                      *, scale: float, n: int, bk: int, axis_name: str):
     bh = pl.program_id(0)
@@ -119,7 +120,6 @@ def _ring_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
 
     # ---- attention with interleaved arrival waits / hop launches ------
     m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-    l_scr[:] = jnp.zeros_like(l_scr)
     acc_scr[:] = jnp.zeros_like(acc_scr)
     q = q_ref[0]  # (bq, D)
 
@@ -173,6 +173,7 @@ def _ring_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
 
         k = kv_vmem_k[slot]
         v = kv_vmem_v[slot]
+        d = v.shape[-1]
         # log2-domain scores (exp2 trick, ops/flash_attention.py LOG2E note)
         s_ = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -180,20 +181,23 @@ def _ring_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         m_prev = m_scr[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s_, axis=-1, keepdims=True))
         alpha = jnp.exp2(m_prev - m_new)
-        p = jnp.exp2(s_ - m_new)
-        l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc_scr[:] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        p = jnp.exp2(s_ - m_new).astype(v.dtype)
+        # row-sum on the MXU via the ones-extended v: l rides the idle PV
+        # output lanes and shares acc's alpha rescale (flash_attention.py
+        # _fwd_kernel docstring)
+        v_ext = jnp.concatenate(
+            [v, jnp.ones((v.shape[0], _ones_width(d)), v.dtype)], axis=-1)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p, v_ext, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
-        acc_scr[:] = acc
         return 0
 
     jax.lax.fori_loop(0, total_tiles, tile_body, 0)
 
-    l = l_scr[:, :1]
-    o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+    d_out = o_ref.shape[-1]
+    l = acc_scr[:, d_out:d_out + 1]
+    o_ref[0] = (acc_scr[:, :d_out] / l).astype(o_ref.dtype)
     lse_ref[0] = (m_scr[:, :1] + jnp.log2(l)) * LN2  # natural-log interface
 
     # ---- drain send semaphores before kernel exit ---------------------
@@ -252,8 +256,7 @@ def ring_flash_attention_rdma(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pltpu.VMEM((2, bk, D), kt.dtype),         # kv tile double buffer
             pltpu.VMEM((2, bk, D), vt.dtype),
             pltpu.VMEM((bq, 128), jnp.float32),       # m
-            pltpu.VMEM((bq, 128), jnp.float32),       # l
-            pltpu.VMEM((bq, D), jnp.float32),         # acc
+            pltpu.VMEM((bq, D + _ones_width(D)), jnp.float32),  # acc | l
             pltpu.SemaphoreType.DMA((2,)),            # local copy
             pltpu.SemaphoreType.DMA((2 * max(n - 1, 1),)),  # recv per hop
             pltpu.SemaphoreType.DMA((2 * max(n - 1, 1),)),  # send per hop

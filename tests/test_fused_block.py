@@ -1,0 +1,115 @@
+"""Fused ViT-block kernels (nn/fused_block.py) vs the plain composition.
+
+Runs the Pallas kernels in interpreter mode on CPU (as test_flash_attention
+does) and checks forward numerics and the block-level custom-VJP gradients
+against nn/layers.vit_block.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fast3r_tpu.nn.layers import init_vit_block, vit_block
+from fast3r_tpu.nn import fused_block as fb
+from fast3r_tpu.ops.rope2d import rope2d_cos_sin
+
+B, N, C, HEADS = 2, 128, 256, 4
+
+
+@pytest.fixture(scope="module")
+def block_setup():
+    key = jax.random.key(0)
+    p = init_vit_block(key, C, HEADS, mlp_ratio=4.0)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((B, N, C)), jnp.float32)
+    return p, x
+
+
+def test_ln_matmul_kernel(block_setup):
+    p, x = block_setup
+    x2 = x.reshape(-1, C)
+    g, b = p["norm2"]["scale"], p["norm2"]["bias"]
+    w, bias = p["mlp"]["fc1"]["w"], p["mlp"]["fc1"]["b"]
+
+    out = fb.ln_matmul(x2, g, b, w, bias, 1e-6, act="gelu")
+    assert out is not None
+
+    xf = x2
+    mean = jnp.mean(xf, -1, keepdims=True)
+    var = jnp.var(xf, -1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + 1e-6) * g + b
+    ref = jax.nn.gelu(y @ w + bias, approximate=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ln_qkv_split(block_setup):
+    p, x = block_setup
+    x2 = x.reshape(-1, C)
+    g, b = p["norm1"]["scale"], p["norm1"]["bias"]
+    w, bias = p["attn"]["qkv"]["w"], p["attn"]["qkv"]["b"]
+    out = fb.ln_qkv(x2, g, b, w, bias, 1e-6)
+    assert out is not None
+    q, k, v = out
+
+    mean = jnp.mean(x2, -1, keepdims=True)
+    var = jnp.var(x2, -1, keepdims=True)
+    y = (x2 - mean) * jax.lax.rsqrt(var + 1e-6) * g + b
+    ref = y @ w + bias
+    for got, want in zip((q, k, v), jnp.split(ref, 3, axis=-1)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_matmul_residual(block_setup):
+    p, x = block_setup
+    x2 = x.reshape(-1, C)
+    w, bias = p["attn"]["proj"]["w"], p["attn"]["proj"]["b"]
+    r = x2 * 0.5
+    out = fb.matmul_residual(x2, w, bias, r)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(r + x2 @ w + bias),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("with_rope", [False, True])
+def test_fused_block_matches_plain(block_setup, with_rope):
+    p, x = block_setup
+    hd = C // HEADS
+    rope = None
+    if with_rope:
+        pos = np.stack(np.meshgrid(np.arange(8), np.arange(16),
+                                   indexing="ij"), -1).reshape(-1, 2)
+        pos = jnp.asarray(np.broadcast_to(pos[None], (B, N, 2)), jnp.int32)
+        rope = rope2d_cos_sin(pos, hd, 100.0)
+
+    ref = vit_block(p, x, HEADS, hd ** -0.5, rope_cos_sin=rope,
+                    attn_impl="naive")
+    out = fb.fused_vit_block(p, x, rope, HEADS, hd ** -0.5, "naive", 1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_block_grads_match_plain(block_setup):
+    p, x = block_setup
+    hd = C // HEADS
+
+    def loss_plain(p_, x_):
+        return jnp.sum(jnp.sin(vit_block(p_, x_, HEADS, hd ** -0.5,
+                                         attn_impl="naive")))
+
+    def loss_fused(p_, x_):
+        return jnp.sum(jnp.sin(fb.fused_vit_block(
+            p_, x_, None, HEADS, hd ** -0.5, "naive", 1e-6)))
+
+    gp_ref, gx_ref = jax.grad(loss_plain, argnums=(0, 1))(p, x)
+    gp, gx = jax.grad(loss_fused, argnums=(0, 1))(p, x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=5e-4, atol=5e-5)
+    for path_ref, path_got in zip(
+            jax.tree.leaves_with_path(gp_ref), jax.tree.leaves_with_path(gp)):
+        np.testing.assert_allclose(
+            np.asarray(path_got[1]), np.asarray(path_ref[1]),
+            rtol=5e-4, atol=5e-5, err_msg=str(path_ref[0]))
