@@ -47,6 +47,24 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _erf(x):
+    """fp32 erf for the in-kernel exact GELU — Mosaic has no erf/erfc
+    lowering (NotImplementedError: erfc).  Abramowitz & Stegun 7.1.26
+    (max abs error 1.5e-7, far below the bf16 output ulp and the fp32
+    golden-test tolerances)."""
+    sign = jnp.sign(x)
+    z = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * z)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-z * z))
+
+
+def _gelu_exact(x):
+    """x * Phi(x) with the erf formulation (torch nn.GELU default)."""
+    return x * 0.5 * (1.0 + _erf(x * 0.7071067811865476))
+
+
 def _ln_f32(x, gamma, beta, eps):
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -83,7 +101,7 @@ def _ln_matmul_kernel(x_ref, g_ref, b_ref, w_ref, bias_ref, o_ref,
         preferred_element_type=jnp.float32,
     ) + bias_ref[:].astype(jnp.float32)
     if act == "gelu":
-        out = jax.nn.gelu(out, approximate=False)
+        out = _gelu_exact(out)
     o_ref[:] = out.astype(o_ref.dtype)
 
 
@@ -204,10 +222,8 @@ def _fused_block_impl(p, x, rope_cos_sin, num_heads, scale, attn_impl,
     q, k, v = (t.reshape(B, N, num_heads, hd) for t in qkv)
     if rope_cos_sin is not None:
         cos, sin = rope_cos_sin
-        q = jnp.swapaxes(
-            _layers.apply_rope2d(jnp.swapaxes(q, 1, 2), cos, sin), 1, 2)
-        k = jnp.swapaxes(
-            _layers.apply_rope2d(jnp.swapaxes(k, 1, 2), cos, sin), 1, 2)
+        q = _layers.apply_rope2d_bnhd(q, cos, sin)
+        k = _layers.apply_rope2d_bnhd(k, cos, sin)
     if callable(attn_impl):
         o = attn_impl(q, k, v, scale)
     else:

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from fast3r_tpu.ops.attention import dot_product_attention
-from fast3r_tpu.ops.rope2d import apply_rope2d
+from fast3r_tpu.ops.rope2d import apply_rope2d, apply_rope2d_bnhd
 
 Params = Dict[str, Any]
 
@@ -179,9 +179,8 @@ def attention_layer(
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
     if rope_cos_sin is not None:
         cos, sin = rope_cos_sin
-        # apply_rope2d expects (B, H, N, D)
-        q = jnp.swapaxes(apply_rope2d(jnp.swapaxes(q, 1, 2), cos, sin), 1, 2)
-        k = jnp.swapaxes(apply_rope2d(jnp.swapaxes(k, 1, 2), cos, sin), 1, 2)
+        q = apply_rope2d_bnhd(q, cos, sin)
+        k = apply_rope2d_bnhd(k, cos, sin)
     if callable(attn_impl):
         o = attn_impl(q, k, v, scale)
     else:

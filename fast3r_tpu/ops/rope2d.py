@@ -87,6 +87,30 @@ def apply_rope2d(
     return jnp.concatenate([y, x], axis=-1).astype(dtype)
 
 
+def apply_rope2d_bnhd(
+    tokens: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+) -> jnp.ndarray:
+    """Apply RoPE2D to q or k in the (B, N, H, D) layout directly.
+
+    Same math and precision policy as :func:`apply_rope2d`, but without the
+    (B, N, H, D) <-> (B, H, N, D) transposes — the qkv projection emits BNHD
+    and both attention backends accept it, so rotating in place saves two
+    relayout materializations per tensor per layer.
+    """
+    dtype = tokens.dtype
+    t = tokens if dtype == jnp.bfloat16 else tokens.astype(jnp.float32)
+    cos = cos.astype(t.dtype)
+    sin = sin.astype(t.dtype)
+    y, x = jnp.split(t, 2, axis=-1)  # each (B, N, H, half)
+    cy = cos[:, :, None, 0, :]  # (B, N, 1, half)
+    sy = sin[:, :, None, 0, :]
+    cx = cos[:, :, None, 1, :]
+    sx = sin[:, :, None, 1, :]
+    y = y * cy + _rotate_half(y) * sy
+    x = x * cx + _rotate_half(x) * sx
+    return jnp.concatenate([y, x], axis=-1).astype(dtype)
+
+
 def apply_rope2d_positions(
     tokens: jnp.ndarray, positions: jnp.ndarray, base: float = 100.0
 ) -> jnp.ndarray:

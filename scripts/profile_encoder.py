@@ -51,6 +51,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--probes", default="full_pallas,full_xla,stack_norope,"
                                          "stack_rope,patch")
+    # extra probes: full_{pallas,xla}_plain (fused_blocks off),
+    # decstack_{fused,plain} (decoder-shaped stack, flash attention)
     args = ap.parse_args()
     probes = set(args.probes.split(","))
 
@@ -69,20 +71,21 @@ def main():
         np.random.default_rng(0).standard_normal((B, H, W, 3)), jnp.bfloat16)
 
     for impl_name in ("pallas", "xla"):
-        key = f"full_{impl_name}"
-        if key not in probes:
-            continue
-        cfg = EncoderConfig(attn_impl=impl_name)
-        params = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16),
-            init_encoder(jax.random.key(0), cfg))
+        for fused in (True, False):
+            key = f"full_{impl_name}" + ("" if fused else "_plain")
+            if key not in probes:
+                continue
+            cfg = EncoderConfig(attn_impl=impl_name, fused_blocks=fused)
+            params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16),
+                init_encoder(jax.random.key(0), cfg))
 
-        def enc(p, x, cfg=cfg):
-            feats, _ = encoder_forward(p, cfg, x)
-            return feats.astype(jnp.float32).sum()
+            def enc(p, x, cfg=cfg):
+                feats, _ = encoder_forward(p, cfg, x)
+                return feats.astype(jnp.float32).sum()
 
-        results[key] = timed(enc, params, imgs)
-        print(key, round(results[key], 4), flush=True)
+            results[key] = timed(enc, params, imgs)
+            print(key, round(results[key], 4), flush=True)
 
     cfg = EncoderConfig(attn_impl="pallas")
     params = jax.tree.map(
@@ -116,6 +119,24 @@ def main():
             return y.astype(jnp.float32).sum()
         results["stack_rope"] = timed(stack_rope, params, x0)
         print("stack_rope", round(results["stack_rope"], 4), flush=True)
+
+    for fused in (True, False):
+        key = "decstack" + ("_fused" if fused else "_plain")
+        if key not in probes:
+            continue
+        # decoder-shaped stack: one fused sequence of V*P tokens, no rope,
+        # flash attention (what models/decoder.py runs at 20 views)
+        xd = x0.reshape(1, B * P, cfg.embed_dim)
+
+        def dec(p, x, fused=fused):
+            from fast3r_tpu.nn.layers import run_vit_stack as rvs
+            y, _ = rvs(p["blocks"], x, cfg.num_heads, hd ** -0.5,
+                       attn_impl="pallas", ln_eps=1e-5, depth=cfg.depth,
+                       fused=fused)
+            return y.astype(jnp.float32).sum()
+
+        results[key] = timed(dec, params, xd)
+        print(key, round(results[key], 4), flush=True)
 
     if "patch" in probes:
         ts = jnp.broadcast_to(jnp.array([H, W], jnp.int32)[None], (B, 2))
