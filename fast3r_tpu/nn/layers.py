@@ -266,7 +266,9 @@ def run_vit_stack(
         vit_block, num_heads=num_heads, scale=scale, rope_cos_sin=rope_cos_sin,
         attn_impl=attn_impl, ln_eps=ln_eps, fused=fused,
     )
-    if remat:
+    if remat and not fused:
+        # the fused block's custom VJP already saves only (params, x) and
+        # recomputes on backward — checkpoint would just add a second replay
         block = jax.checkpoint(block)
 
     def scan_fn(carry, layer_params):

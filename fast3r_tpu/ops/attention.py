@@ -59,6 +59,20 @@ def dot_product_attention(
         w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
         return jnp.einsum("bhqk,bkhd->bqhd", w, v)
     if impl == "xla":
+        if q.dtype == jnp.bfloat16:
+            # bf16 logits: XLA materializes the logits at the dot boundary
+            # either way (cost_analysis r2: 0.8 GB fp32 per encoder layer,
+            # the whole path HBM-bound at 3.6 ms/layer), so round them to
+            # bf16 — the reference's bf16 SDPA precision — and keep the
+            # softmax statistics in fp32 on the fly (registers, not HBM).
+            # MXU accumulation is fp32 regardless of the output dtype.
+            qs = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", qs, k,
+                preferred_element_type=jnp.bfloat16)
+            w = jax.nn.softmax(
+                logits.astype(jnp.float32), axis=-1).astype(jnp.bfloat16)
+            return jnp.einsum("bhqk,bkhd->bqhd", w, v)
         return jax.nn.dot_product_attention(q, k, v, scale=scale)
     if impl == "pallas":
         from fast3r_tpu.ops.flash_attention import flash_attention

@@ -140,67 +140,90 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr,
         lse_ref[0, 0] = (m_scr[:, :1] + jnp.log2(l)) * LN2
 
 
-def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float):
-    """Whole-sequence-in-VMEM variant for short sequences, batched over a
-    block of `bb` batch rows per program (boom guide's block_b > 1 pattern) —
-    the per-view encoder case (S = patches/view, B = num_images) where the
-    (B, H, 1, 1) grid is dominated by per-program overhead."""
-    q = q_ref[:, 0]  # (bb, S, D)
-    k = k_ref[:, 0]
-    v = v_ref[:, 0]
-    d = v.shape[-1]
-    s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) * (scale * LOG2E)  # (bb, S, Skv), log2 domain (exp2 trick)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp2(s - m).astype(v.dtype)
-    # row-sum on the MXU via the ones-extended v (see _fwd_kernel docstring)
-    v_ext = jnp.concatenate(
-        [v, jnp.ones(v.shape[:-1] + (_ones_width(d),), v.dtype)], axis=-1)
-    acc = jax.lax.dot_general(
-        p, v_ext, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    l = acc[..., d:d + 1]
-    o_ref[:, 0] = (acc[..., :d] / l).astype(o_ref.dtype)
-    lse_ref[:, 0] = (m + jnp.log2(l)) * LN2
+def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
+                       inner: int, hc: int):
+    """Whole-sequence-in-VMEM variant for short sequences: each program owns
+    a (bb, hc, S, D) block and runs the bb*hc independent head-attentions in
+    an inner fori_loop over one reused score tile.  Motivation (r2
+    measurement): at the encoder's (B=20, H=16, S=768) a one-head-per-program
+    grid is 320 tiny programs whose per-program overhead made the kernel
+    SLOWER than XLA's HBM-materializing attention (0.186 vs 0.146 s/stack);
+    fat blocks with an inner loop amortize the overhead while the logits
+    never leave VMEM (XLA's alternative writes 0.8 GB of fp32 logits per
+    encoder layer — cost_analysis: 2.95 GB, 3.6 ms, HBM-bound)."""
+    d = v_ref.shape[-1]
+
+    def body(t, _):
+        bi = t // hc
+        hj = jax.lax.rem(t, hc)
+        q = q_ref[bi, hj]  # (S, D)
+        k = k_ref[bi, hj]
+        v = v_ref[bi, hj]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (scale * LOG2E)  # (S, Skv), log2 domain (exp2 trick)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m).astype(v.dtype)
+        # row-sum on the MXU via the ones-extended v (_fwd_kernel docstring)
+        v_ext = jnp.concatenate(
+            [v, jnp.ones((v.shape[0], _ones_width(d)), v.dtype)], axis=-1)
+        acc = jax.lax.dot_general(
+            p, v_ext, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        l = acc[:, d:d + 1]
+        o_ref[bi, hj] = (acc[:, :d] / l).astype(o_ref.dtype)
+        lse_ref[bi, hj] = (m + jnp.log2(l)) * LN2
+        return 0
+
+    jax.lax.fori_loop(0, inner, body, 0)
 
 
-SINGLE_KERNEL_BUDGET = 4 * 1024 * 1024
+SINGLE_KERNEL_BUDGET = 5 * 1024 * 1024
 
 
-def _pick_batch_block(b: int, s: int, skv: int,
-                      vmem_budget=SINGLE_KERNEL_BUDGET):
-    """Largest divisor of b with bb * S * Skv * 4B (scores fp32) in budget.
+def _pick_single_blocks(b: int, h: int, s: int, skv: int, d: int,
+                        vmem_budget=SINGLE_KERNEL_BUDGET):
+    """(bb, hc): divisors of (B, H) maximizing the per-program block under a
+    VMEM budget covering the fp32 score tile + bf16 exp (reused across the
+    inner loop) and the double-buffered q/k/v/o tiles.
 
-    Budget: 4 MB for the fp32 scores tile — with p in bf16 and the ones-
-    extended acc, the per-program live set at the budget is ~8 MB against the
-    16 MB VMEM (covers the encoder's S=768 per-view attention, whose XLA
-    alternative materializes 0.8 GB of fp32 logits to HBM per layer —
-    cost_analysis showed 2.95 GB/layer total, 3.6 ms, HBM-bound)."""
-    cap = max(1, vmem_budget // max(4 * s * skv, 1))
-    best = 1
-    for bb in range(1, min(b, cap) + 1):
-        if b % bb == 0:
-            best = bb
+    The budget is deliberately ~1/3 of the 16 MB scoped-vmem limit: Mosaic's
+    actual stack (dot intermediates, relayouts, both output buffers) runs
+    well past the nominal tile accounting — an 8 MB-modeled config compiled
+    to an 18 MB stack and OOM'd."""
+    fixed = (4 * s * skv      # fp32 scores
+             + 2 * s * skv    # bf16 p
+             + 4 * s * 128    # fp32 acc (+l lanes)
+             + 2 * skv * 128)  # ones-extended v
+    per = 2 * 2 * (2 * s + 2 * skv) * d              # q/o + k/v, dbl-buffered
+    best, best_sz = (0, 0), 0
+    for hc in (x for x in range(1, h + 1) if h % x == 0):
+        for bb in (x for x in range(1, b + 1) if b % x == 0):
+            if fixed + per * bb * hc > vmem_budget:
+                continue
+            if bb * hc > best_sz:
+                best_sz, best = bb * hc, (bb, hc)
     return best
 
 
 def _flash_forward_single(q, k, v, scale):
     B, H, S, D = q.shape
     Skv = k.shape[2]
-    bb = _pick_batch_block(B, S, Skv)
+    bb, hc = _pick_single_blocks(B, H, S, Skv, D)
     o, lse = pl.pallas_call(
-        functools.partial(_fwd_single_kernel, scale=scale),
-        grid=(B // bb, H),
+        functools.partial(_fwd_single_kernel, scale=scale, inner=bb * hc,
+                          hc=hc),
+        grid=(B // bb, H // hc),
         in_specs=[
-            pl.BlockSpec((bb, 1, S, D), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((bb, 1, Skv, D), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((bb, 1, Skv, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((bb, hc, S, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((bb, hc, Skv, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((bb, hc, Skv, D), lambda b, h: (b, h, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((bb, 1, S, D), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((bb, 1, S, 1), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((bb, hc, S, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((bb, hc, S, 1), lambda b, h: (b, h, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
@@ -217,7 +240,7 @@ def _flash_forward_single(q, k, v, scale):
 def _flash_forward(q, k, v, scale, bq, bk) -> Tuple[jnp.ndarray, jnp.ndarray]:
     B, H, S, D = q.shape
     Skv = k.shape[2]
-    if S == bq and Skv == bk and 4 * S * Skv <= SINGLE_KERNEL_BUDGET:
+    if _pick_single_blocks(B, H, S, Skv, D)[0]:
         return _flash_forward_single(q, k, v, scale)
     grid = (B, H, S // bq, Skv // bk)
 

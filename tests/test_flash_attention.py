@@ -23,7 +23,8 @@ def _flash_interpret(q, k, v, scale):
         return fa.flash_attention(q, k, v, scale)
 
 
-@pytest.mark.parametrize("B,S,H,D", [(2, 256, 2, 64), (1, 384, 4, 32)])
+@pytest.mark.parametrize("B,S,H,D", [(2, 256, 2, 64), (1, 384, 4, 32),
+                                     (2, 128, 16, 64)])
 def test_flash_forward_matches_naive(B, S, H, D):
     rng = np.random.default_rng(0)
     q, k, v = (
@@ -59,6 +60,23 @@ def test_flash_backward_matches_naive():
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
             err_msg=f"d{name}",
         )
+
+
+def test_xla_bf16_logits_close_to_fp32():
+    """The bf16-logits xla path (reference bf16-SDPA precision) stays within
+    bf16 rounding of the fp32 naive oracle."""
+    rng = np.random.default_rng(7)
+    B, S, H, D = 2, 64, 2, 32
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+        for _ in range(3)
+    )
+    scale = D ** -0.5
+    ref = np.asarray(_naive(q, k, v, scale))
+    out = dot_product_attention(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), scale, impl="xla").astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=0.05, atol=0.05)
 
 
 def test_flash_small_seq_fallback():
