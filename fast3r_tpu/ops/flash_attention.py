@@ -45,16 +45,29 @@ NEG_INF = -1e30
 LOG2E = 1.4426950408889634
 LN2 = 0.6931471805599453
 # Forward block sizes tuned on TPU v5e at D=64 (see BENCHMARKS.md):
-# symmetric (512,512) -> 11.5 TFLOP/s (grid overhead), (1024,1024) -> 57.7 at
-# S=15360; ASYMMETRIC small-q/large-kv wins at long S ((512,1536) -> 69 vs 44
-# TFLOP/s at S=192000: fewer kv-loop iterations, larger DMAs).  Round-2 exp2
-# re-sweep at S=15360: (512,1536) 69.0, (1024,1536) 70.7 TFLOP/s; blocks
-# with bq*bk >= 1024x2560 fail to compile (fp32 score tile exceeds VMEM).
-# Backward keeps more live buffers per program -> smaller blocks.
+# asymmetric small-q/large-kv wins (fewer kv-loop iterations, larger DMAs),
+# and the kv block is processed as `split` independent partial-softmax
+# sub-chains of <= MAX_SUB_KV columns (local max + exp2-weighted merge):
+# the decoupled chains let Mosaic overlap sub-block j+1's QK matmul with
+# sub-block j's exp2 passes, and halve the live score tile so bigger kv
+# blocks fit VMEM.  r2 sweep at S=15360: (1024,3840)x3 85.8, (1024,3072)x2
+# 84.4, (1024,1536)x1 81.7, (512,1536)x1 72.9 TFLOP/s (70.7 pre-MXU-row-sum,
+# 57.7 r1 best).  Backward keeps more live buffers -> smaller blocks.
 MAX_BLOCK_Q = 1024
-MAX_BLOCK_KV = 1536
+MAX_BLOCK_KV = 3840
+MAX_SUB_KV = 1536
 MAX_BLOCK_Q_BWD = 512
 MAX_BLOCK_KV_BWD = 512
+
+
+def _pick_split(bk: int, max_sub: int = None) -> int:
+    """Smallest sub-chain count with bk/split <= MAX_SUB_KV, split | bk and
+    the sub-block a sublane multiple."""
+    max_sub = max_sub or MAX_SUB_KV
+    split = -(-bk // max_sub)
+    while bk % split or (bk // split) % 8:
+        split += 1
+    return split
 
 
 def _interpret() -> bool:
@@ -90,7 +103,7 @@ def _pick_block(s: int, max_block: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr,
-                *, scale: float, kv_steps: int, d: int):
+                *, scale: float, kv_steps: int, d: int, split: int = 1):
     """Online-softmax forward step with the row-sum folded into the PV matmul.
 
     At D < 128 the PV contraction's output uses only D of the MXU's 128
@@ -101,6 +114,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr,
     already in v.dtype (for bf16 inputs this halves the p tile traffic and
     drops the separate cast pass; l is then accumulated from the SAME p the
     PV matmul consumes, so o = (p@v)/(p@1) stays self-consistent).
+
+    split > 1 processes the kv block as `split` sub-blocks with INDEPENDENT
+    partial-softmax chains (local max per sub-block, exp2-weighted merge at
+    the end) — the classic two-level flash merge.  The chains share no data
+    until the merge, giving Mosaic's scheduler freedom to overlap sub-block
+    j+1's QK matmul (MXU) with sub-block j's exp2 passes (VPU), which a
+    single online chain serializes (m_new couples every element).
     """
     kv = pl.program_id(3)
 
@@ -110,26 +130,36 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr,
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     q = q_ref[0, 0]  # (bq, D)
-    k = k_ref[0, 0]  # (bk, D)
-    v = v_ref[0, 0]
+    bk = k_ref.shape[2]
+    sub = bk // split
+    ones = jnp.ones((sub, _ones_width(d)), v_ref.dtype)
 
-    # scores in the log2 domain (exp2 trick, see LOG2E note)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * (scale * LOG2E)  # (bq, bk) fp32
+    # independent partial chains per sub-block (scores in the log2 domain)
+    parts = []
+    for j in range(split):
+        k = k_ref[0, 0, j * sub:(j + 1) * sub]
+        v = v_ref[0, 0, j * sub:(j + 1) * sub]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (scale * LOG2E)  # (bq, sub) fp32
+        m_j = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m_j).astype(v.dtype)
+        v_ext = jnp.concatenate([v, ones], axis=-1)
+        acc_j = jax.lax.dot_general(
+            p, v_ext, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        parts.append((m_j, acc_j))
 
+    # merge the partials with the running state
     m_prev = m_scr[:, :1]                      # (bq, 1)
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp2(m_prev - m_new)           # (bq, 1)
-    p = jnp.exp2(s - m_new).astype(v.dtype)    # (bq, bk), single pass
-
-    v_ext = jnp.concatenate(
-        [v, jnp.ones((v.shape[0], _ones_width(d)), v.dtype)], axis=-1)
-    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-        p, v_ext, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    m_new = m_prev
+    for m_j, _ in parts:
+        m_new = jnp.maximum(m_new, m_j)
+    acc = acc_scr[:] * jnp.exp2(m_prev - m_new)
+    for m_j, acc_j in parts:
+        acc = acc + acc_j * jnp.exp2(m_j - m_new)
+    acc_scr[:] = acc
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
 
     @pl.when(kv == kv_steps - 1)
@@ -237,7 +267,8 @@ def _flash_forward_single(q, k, v, scale):
     return o, lse
 
 
-def _flash_forward(q, k, v, scale, bq, bk) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _flash_forward(q, k, v, scale, bq, bk,
+                   split: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
     B, H, S, D = q.shape
     Skv = k.shape[2]
     if _pick_single_blocks(B, H, S, Skv, D)[0]:
@@ -245,7 +276,8 @@ def _flash_forward(q, k, v, scale, bq, bk) -> Tuple[jnp.ndarray, jnp.ndarray]:
     grid = (B, H, S // bq, Skv // bk)
 
     o, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, kv_steps=Skv // bk, d=D),
+        functools.partial(_fwd_kernel, scale=scale, kv_steps=Skv // bk,
+                          d=D, split=split),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0)),
@@ -431,14 +463,14 @@ def _flash_backward(q, k, v, o, lse, do, scale, bq, bk, dlse=None):
 def _flash_bhsd(q, k, v, scale):
     bq = _pick_block(q.shape[2], MAX_BLOCK_Q)
     bk = _pick_block(k.shape[2], MAX_BLOCK_KV)
-    o, _ = _flash_forward(q, k, v, scale, bq, bk)
+    o, _ = _flash_forward(q, k, v, scale, bq, bk, split=_pick_split(bk))
     return o
 
 
 def _flash_bhsd_fwd(q, k, v, scale):
     bq = _pick_block(q.shape[2], MAX_BLOCK_Q)
     bk = _pick_block(k.shape[2], MAX_BLOCK_KV)
-    o, lse = _flash_forward(q, k, v, scale, bq, bk)
+    o, lse = _flash_forward(q, k, v, scale, bq, bk, split=_pick_split(bk))
     return o, (q, k, v, o, lse)
 
 

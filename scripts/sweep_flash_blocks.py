@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--head-dim", type=int, default=64)
     ap.add_argument("--configs", default=DEFAULT_CONFIGS)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--split", type=int, default=1,
+                    help="partial-softmax sub-blocks per kv block")
     args = ap.parse_args()
 
     import jax
@@ -56,7 +58,8 @@ def main():
         def run(q, k, v, n, bq=bq, bk=bk):
             def body(i, acc):
                 qi = q * (jnp.float32(1.0) + i * jnp.float32(1e-8)).astype(q.dtype)
-                o, _ = _flash_forward(qi, k, v, scale, bq, bk)
+                o, _ = _flash_forward(qi, k, v, scale, bq, bk,
+                                      split=args.split)
                 return acc + o.astype(jnp.float32).sum()
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
