@@ -8,6 +8,7 @@ written independently and compared against these at fp32.
 """
 
 import importlib
+import importlib.machinery
 import sys
 import types
 
@@ -18,6 +19,11 @@ def _stub(name: str, **attrs) -> types.ModuleType:
     mod = sys.modules.get(name) or types.ModuleType(name)
     for k, v in attrs.items():
         setattr(mod, k, v)
+    if getattr(mod, "__spec__", None) is None:
+        # a None __spec__ breaks later importlib.util.find_spec(name) callers
+        # (e.g. transformers' optional-dependency probing does
+        # find_spec("rich"), which raises ValueError on spec-less modules)
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     sys.modules[name] = mod
     if "." in name:
         parent, child = name.rsplit(".", 1)
