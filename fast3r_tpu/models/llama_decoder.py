@@ -126,8 +126,16 @@ def init_llama_block(key, cfg: LlamaDecoderConfig, dtype=jnp.float32) -> Params:
     }
 
 
-def llama_block(p: Params, x: jnp.ndarray, cos, sin, cfg: LlamaDecoderConfig
-                ) -> jnp.ndarray:
+def llama_block(p: Params, x: jnp.ndarray, cos, sin, cfg: LlamaDecoderConfig,
+                fused: bool = False) -> jnp.ndarray:
+    """Llama block.  ``fused=True`` runs the RMSNorm/SwiGLU/residual
+    elementwise work inside the matmul kernels (nn/fused_block.py,
+    fused_llama_block) with a custom VJP recomputing through this plain
+    composition."""
+    if fused:
+        from fast3r_tpu.nn.fused_block import fused_llama_block
+
+        return fused_llama_block(p, x, cos, sin, cfg)
     B, S, D = x.shape
     h = rmsnorm(p["attention_norm"], x, cfg.norm_eps)
     q = linear(p["attn"]["wq"], h).reshape(B, S, cfg.n_heads, cfg.head_dim)
@@ -199,7 +207,12 @@ def llama_decoder_forward(
     v0 = params["view0_embed"].astype(x.dtype)
 
     outputs: Dict[int, jnp.ndarray] = {0: x}
-    block = functools.partial(llama_block, cos=cos, sin=sin, cfg=cfg)
+    from fast3r_tpu.nn.fused_block import fused_llama_supported
+
+    fused = (jax.default_backend() == "tpu"
+             and fused_llama_supported(x.shape[:2], cfg))
+    block = functools.partial(llama_block, cos=cos, sin=sin, cfg=cfg,
+                              fused=fused)
 
     def scan_fn(carry, layer_params):
         # view0_embed added before every layer (fast3r.py:958-960)

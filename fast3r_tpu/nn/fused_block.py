@@ -74,6 +74,14 @@ def _ln_f32(x, gamma, beta, eps):
     return y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
 
 
+def _rms_f32(x, gamma, eps):
+    """RMSNorm matching llama_decoder.rmsnorm bit-for-bit: fp32 statistics,
+    cast to x.dtype BEFORE the gamma multiply (the reference's cast order)."""
+    xf = x.astype(jnp.float32)
+    y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return y.astype(x.dtype) * gamma.astype(x.dtype)
+
+
 def _pick_bm(m: int, k: int, n: int, w_bytes: int, itemsize: int) -> int:
     """Rows per program such that W (resident) + double-buffered x/out tiles +
     fp32 LN intermediates stay inside the VMEM budget."""
@@ -115,6 +123,28 @@ def _ln_qkv_kernel(x_ref, g_ref, b_ref, w_ref, bias_ref,
     q_ref[:] = out[:, :c].astype(q_ref.dtype)
     k_ref[:] = out[:, c:2 * c].astype(k_ref.dtype)
     v_ref[:] = out[:, 2 * c:].astype(v_ref.dtype)
+
+
+def _rms_matmul_kernel(x_ref, g_ref, w_ref, o_ref, *, eps: float,
+                       act: Optional[str]):
+    y = _rms_f32(x_ref[:], g_ref[:], eps)
+    out = jax.lax.dot_general(
+        y, w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if act == "silu":
+        out = out * jax.nn.sigmoid(out)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _rms_qkv3_kernel(x_ref, g_ref, wq_ref, wk_ref, wv_ref,
+                     q_ref, k_ref, v_ref, *, eps: float):
+    y = _rms_f32(x_ref[:], g_ref[:], eps)
+    for w_ref, o_ref in ((wq_ref, q_ref), (wk_ref, k_ref), (wv_ref, v_ref)):
+        o_ref[:] = jax.lax.dot_general(
+            y, w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
 
 
 def _matmul_res_kernel(x_ref, w_ref, bias_ref, r_ref, o_ref):
@@ -180,6 +210,60 @@ def ln_qkv(x, gamma, beta, w, bias, eps: float):
         out_shape=[jax.ShapeDtypeStruct((m, c), x.dtype)] * 3,
         interpret=_interpret(),
     )(x, gamma, beta, w, bias)
+
+
+def rms_matmul(x, gamma, w, eps: float, act: Optional[str] = None):
+    """act(RMSNorm(x) @ w); x (M, K), w (K, N), no bias (llama linears)."""
+    m, k = x.shape
+    n = w.shape[1]
+    bm = _pick_bm(m, k, n, w.size * w.dtype.itemsize, x.dtype.itemsize)
+    if bm == 0 or k % 128 or n % 128:
+        return None
+    return pl.pallas_call(
+        functools.partial(_rms_matmul_kernel, eps=eps, act=act),
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0)),
+            pl.BlockSpec((k,), lambda i: (0,)),
+            pl.BlockSpec((k, n), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        interpret=_interpret(),
+    )(x, gamma, w)
+
+
+def rms_qkv3(x, gamma, wq, wk, wv, eps: float):
+    """RMSNorm(x) projected through three separate (bias-free) weights —
+    llama GQA attention, where wk/wv may be narrower than wq."""
+    m, k = x.shape
+    nq, nk, nv = wq.shape[1], wk.shape[1], wv.shape[1]
+    w_bytes = (wq.size + wk.size + wv.size) * wq.dtype.itemsize
+    bm = _pick_bm(m, k, nq + nk + nv, w_bytes, x.dtype.itemsize)
+    if bm == 0 or k % 128 or nq % 128 or nk % 128 or nv % 128:
+        return None
+    return pl.pallas_call(
+        functools.partial(_rms_qkv3_kernel, eps=eps),
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0)),
+            pl.BlockSpec((k,), lambda i: (0,)),
+            pl.BlockSpec((k, nq), lambda i: (0, 0)),
+            pl.BlockSpec((k, nk), lambda i: (0, 0)),
+            pl.BlockSpec((k, nv), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, nq), lambda i: (i, 0)),
+            pl.BlockSpec((bm, nk), lambda i: (i, 0)),
+            pl.BlockSpec((bm, nv), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, nq), x.dtype),
+            jax.ShapeDtypeStruct((m, nk), x.dtype),
+            jax.ShapeDtypeStruct((m, nv), x.dtype),
+        ],
+        interpret=_interpret(),
+    )(x, gamma, wq, wk, wv)
 
 
 def matmul_residual(x, w, bias, residual):
@@ -301,4 +385,94 @@ def fused_block_supported(x_shape, dim: int, mlp_hidden: int) -> bool:
         and _pick_bm(m, c, c, c * c * itemsize, itemsize) > 0
         and _pick_bm(m, c, mlp_hidden, c * mlp_hidden * itemsize, itemsize) > 0
         and _pick_bm(m, mlp_hidden, c, c * mlp_hidden * itemsize, itemsize) > 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# fused llama block (RMSNorm / SwiGLU variant — models/llama_decoder.py)
+# ---------------------------------------------------------------------------
+
+def _fused_llama_impl(p, x, cos, sin, cfg):
+    from fast3r_tpu.models.llama_decoder import apply_rotary_pairs
+
+    B, S, D = x.shape
+    x2 = x.reshape(B * S, D)
+    dt = x.dtype
+
+    qkv = rms_qkv3(x2, p["attention_norm"]["scale"],
+                   p["attn"]["wq"]["w"].astype(dt),
+                   p["attn"]["wk"]["w"].astype(dt),
+                   p["attn"]["wv"]["w"].astype(dt), cfg.norm_eps)
+    if qkv is None:
+        return None
+    q = qkv[0].reshape(B, S, cfg.n_heads, cfg.head_dim)
+    k = qkv[1].reshape(B, S, cfg.kv_heads, cfg.head_dim)
+    v = qkv[2].reshape(B, S, cfg.kv_heads, cfg.head_dim)
+    q = apply_rotary_pairs(q, cos, sin)
+    k = apply_rotary_pairs(k, cos, sin)
+    n_rep = cfg.n_heads // cfg.kv_heads
+    if n_rep > 1:  # GQA: repeat kv heads (llama.py:125-134)
+        k = jnp.repeat(k, n_rep, axis=2)
+        v = jnp.repeat(v, n_rep, axis=2)
+    o = _layers.dot_product_attention(q, k, v, scale=cfg.head_dim ** -0.5,
+                                      impl=cfg.attn_impl)
+
+    zero_d = jnp.zeros((D,), dt)
+    x2 = matmul_residual(o.reshape(B * S, D),
+                         p["attn"]["wo"]["w"].astype(dt), zero_d, x2)
+    if x2 is None:
+        return None
+
+    g = p["ffn_norm"]["scale"]
+    h1 = rms_matmul(x2, g, p["ffn"]["w1"]["w"].astype(dt), cfg.norm_eps,
+                    act="silu")
+    h3 = rms_matmul(x2, g, p["ffn"]["w3"]["w"].astype(dt), cfg.norm_eps)
+    if h1 is None or h3 is None:
+        return None
+    x2 = matmul_residual(h1 * h3, p["ffn"]["w2"]["w"].astype(dt), zero_d, x2)
+    if x2 is None:
+        return None
+    return x2.reshape(B, S, D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_llama_block(p, x, cos, sin, cfg):
+    """Llama block (RMSNorm -> GQA attention -> RMSNorm -> SwiGLU) with the
+    norm/silu/residual elementwise work fused into the matmul kernels.
+    Backward recomputes through models/llama_decoder.llama_block (plain)."""
+    out = _fused_llama_impl(p, x, cos, sin, cfg)
+    assert out is not None, "fused_llama_block: untileable shapes"
+    return out
+
+
+def _fused_llama_fwd(p, x, cos, sin, cfg):
+    return fused_llama_block(p, x, cos, sin, cfg), (p, x, cos, sin)
+
+
+def _fused_llama_bwd(cfg, res, g):
+    from fast3r_tpu.models.llama_decoder import llama_block
+
+    p, x, cos, sin = res
+    _, vjp = jax.vjp(lambda p_, x_: llama_block(p_, x_, cos, sin, cfg,
+                                                fused=False), p, x)
+    dp, dx = vjp(g)
+    return dp, dx, jnp.zeros_like(cos), jnp.zeros_like(sin)
+
+
+fused_llama_block.defvjp(_fused_llama_fwd, _fused_llama_bwd)
+
+
+def fused_llama_supported(x_shape, cfg) -> bool:
+    """Static tiling check for the fused llama block."""
+    m = x_shape[0] * x_shape[1]
+    d = cfg.embed_dim
+    kvd = cfg.kv_heads * cfg.head_dim
+    if d % 128 or kvd % 128 or cfg.ffn_hidden % 128:
+        return False
+    it = 2
+    return (
+        _pick_bm(m, d, d + 2 * kvd, (d * d + 2 * d * kvd) * it, it) > 0
+        and _pick_bm(m, d, d, d * d * it, it) > 0
+        and _pick_bm(m, d, cfg.ffn_hidden, d * cfg.ffn_hidden * it, it) > 0
+        and _pick_bm(m, cfg.ffn_hidden, d, d * cfg.ffn_hidden * it, it) > 0
     )
