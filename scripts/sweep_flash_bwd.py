@@ -9,6 +9,7 @@ of large-sequence training steps.
 """
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -52,11 +53,15 @@ def main():
             print(f"skip {spec}: does not divide S={S}", flush=True)
             continue
 
-        def run(q, k, v, do, n, bq=bq, bk=bk):
-            o, lse = fa._flash_forward(q, k, v, scale,
-                                       fa._pick_block(S, fa.MAX_BLOCK_Q),
-                                       fa._pick_block(S, fa.MAX_BLOCK_KV))
+        # forward once in its own program (the combined fwd+bwd program
+        # crashed the remote compile helper); o/lse feed the timed bwd
+        fwd = jax.jit(lambda q, k, v: fa._flash_forward(
+            q, k, v, scale, fa._pick_block(S, fa.MAX_BLOCK_Q),
+            fa._pick_block(S, fa.MAX_BLOCK_KV)))
+        o, lse = fwd(q, k, v)
+        o.block_until_ready()
 
+        def run(q, k, v, o, lse, do, n, bq=bq, bk=bk):
             def body(i, acc):
                 doi = do * (jnp.float32(1.0) + i * jnp.float32(1e-8)
                             ).astype(do.dtype)
@@ -68,7 +73,8 @@ def main():
 
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-        runj = jax.jit(run)
+        runj = functools.partial(jax.jit(run), q, k, v, o, lse)
+        runj = lambda q_, k_, v_, do_, n, f=runj: f(do_, n)  # noqa: E731
         try:
             one, many = jnp.int32(1), jnp.int32(args.iters)
             float(np.asarray(runj(q, k, v, do, one)))
