@@ -268,7 +268,12 @@ def _flash_forward_single(q, k, v, scale):
 
 
 def _flash_forward(q, k, v, scale, bq, bk,
-                   split: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                   split=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """split=None auto-picks the partial-softmax sub-chain count for bk
+    (a single chain at bk=3840 is a 15.7 MB fp32 score tile -> VMEM OOM);
+    pass an explicit int to force (sweeps)."""
+    if split is None:
+        split = _pick_split(bk)
     B, H, S, D = q.shape
     Skv = k.shape[2]
     if _pick_single_blocks(B, H, S, Skv, D)[0]:

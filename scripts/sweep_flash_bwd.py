@@ -55,9 +55,10 @@ def main():
 
         # forward once in its own program (the combined fwd+bwd program
         # crashed the remote compile helper); o/lse feed the timed bwd
+        fwd_bk = fa._pick_block(S, fa.MAX_BLOCK_KV)
         fwd = jax.jit(lambda q, k, v: fa._flash_forward(
-            q, k, v, scale, fa._pick_block(S, fa.MAX_BLOCK_Q),
-            fa._pick_block(S, fa.MAX_BLOCK_KV)))
+            q, k, v, scale, fa._pick_block(S, fa.MAX_BLOCK_Q), fwd_bk,
+            split=fa._pick_split(fwd_bk)))
         o, lse = fwd(q, k, v)
         o.block_until_ready()
 
