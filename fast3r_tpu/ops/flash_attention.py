@@ -56,8 +56,11 @@ LN2 = 0.6931471805599453
 MAX_BLOCK_Q = 1024
 MAX_BLOCK_KV = 3840
 MAX_SUB_KV = 1536
+# Backward sweep r2 (S=15360, scripts/sweep_flash_bwd.py): (512,2560) 92.1
+# TFLOP/s, (1024,1536) 91.7, (512,1536) 90.1, (512,1024) 87.3, (1024,512)
+# 86.5, (512,512) 74.0 (the r1 default), (256,1024) 69.9.
 MAX_BLOCK_Q_BWD = 512
-MAX_BLOCK_KV_BWD = 512
+MAX_BLOCK_KV_BWD = 2560
 
 
 def _pick_split(bk: int, max_sub: int = None) -> int:
