@@ -64,8 +64,12 @@ def _bwd_kernel(x_ref, scale_ref, dy_ref, dx_ref, dscale_ref, dbias_ref,
     dx = (g - jnp.mean(g, axis=-1, keepdims=True)
           - xhat * jnp.mean(g * xhat, axis=-1, keepdims=True)) * rstd
     dx_ref[:] = dx.astype(dx_ref.dtype)
-    dscale_ref[:] = jnp.sum(dy * xhat, axis=0, keepdims=True)
-    dbias_ref[:] = jnp.sum(dy, axis=0, keepdims=True)
+    # the FULL (nblocks, d) partial arrays stay resident (constant index
+    # map); each program writes its own row.  A (1, d) per-block output
+    # spec is illegal on TPU when 1 < nblocks < 8 (sublane rule).
+    i = pl.program_id(0)
+    dscale_ref[i, :] = jnp.sum(dy * xhat, axis=0)
+    dbias_ref[i, :] = jnp.sum(dy, axis=0)
 
 
 def _run_fwd(x2d, scale, bias, eps, bn):
@@ -97,8 +101,8 @@ def _run_bwd(x2d, scale, dy2d, eps, bn):
         ],
         out_specs=[
             pl.BlockSpec((bn, d), lambda i: (i, 0)),
-            pl.BlockSpec((1, d), lambda i: (i, 0)),
-            pl.BlockSpec((1, d), lambda i: (i, 0)),
+            pl.BlockSpec((nblocks, d), lambda i: (0, 0)),
+            pl.BlockSpec((nblocks, d), lambda i: (0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, d), x2d.dtype),
@@ -140,6 +144,10 @@ def _fused_ln_bwd(eps, res, dy):
     x2d = x.reshape(-1, d)
     dy2d = dy.reshape(-1, d)
     bn = _pick_rows(x2d.shape[0], d)
+    # the bwd keeps the full (nblocks, d) fp32 partial arrays resident in
+    # VMEM (see _bwd_kernel); guard their size
+    if bn and 2 * (x2d.shape[0] // bn) * d * 4 > 2 * 1024 * 1024:
+        bn = 0
     if bn == 0:
         xf = x2d.astype(jnp.float32)
         dyf = dy2d.astype(jnp.float32)
