@@ -27,10 +27,13 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _pick_rows(n: int, d: int = 1024) -> int:
-    """Rows per program: bounded so the ~4 fp32 intermediates stay well under
-    VMEM (~8 MB budget -> bn*d*4B*4 <= 8 MB)."""
-    target = max(8, min(1024, (2 * 1024 * 1024) // (4 * max(d, 1)) * 4))
+def _pick_rows(n: int, d: int = 1024, live_tiles: int = 5) -> int:
+    """Rows per program such that `live_tiles` fp32 (bn, d) tiles fit a
+    10 MB budget (Mosaic stacks every chained intermediate; the backward
+    holds ~8 — x, dy, g, xhat, two mean terms, dx, partials — and a
+    bn=960/d=1024 pick compiled to a 19.5 MB stack and OOM'd)."""
+    cap = (10 * 1024 * 1024) // (4 * max(d, 1) * live_tiles)
+    target = max(8, min(1024, cap))
     best = 0
     b = 8
     while b <= target:
@@ -143,7 +146,7 @@ def _fused_ln_bwd(eps, res, dy):
     d = shape[-1]
     x2d = x.reshape(-1, d)
     dy2d = dy.reshape(-1, d)
-    bn = _pick_rows(x2d.shape[0], d)
+    bn = _pick_rows(x2d.shape[0], d, live_tiles=8)
     # the bwd keeps the full (nblocks, d) fp32 partial arrays resident in
     # VMEM (see _bwd_kernel); guard their size
     if bn and 2 * (x2d.shape[0] // bn) * d * 4 > 2 * 1024 * 1024:
