@@ -165,7 +165,8 @@ def decoder_forward(
     fused = (cfg.fused_blocks and jax.default_backend() == "tpu"
              and fused_block_supported(
                  x.shape[:2], cfg.embed_dim,
-                 int(cfg.embed_dim * cfg.mlp_ratio)))
+                 int(cfg.embed_dim * cfg.mlp_ratio),
+                 itemsize=x.dtype.itemsize))
     x, hooked = run_vit_stack(
         params["blocks"], x, cfg.num_heads, scale,
         rope_cos_sin=None, attn_impl=cfg.attn_impl, ln_eps=cfg.block_ln_eps,

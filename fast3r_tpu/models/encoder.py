@@ -102,7 +102,8 @@ def encoder_forward(
     fused = (cfg.fused_blocks and jax.default_backend() == "tpu"
              and fused_block_supported(
                  x.shape[:2], cfg.embed_dim,
-                 int(cfg.embed_dim * cfg.mlp_ratio)))
+                 int(cfg.embed_dim * cfg.mlp_ratio),
+                 itemsize=x.dtype.itemsize))
     x, _ = run_vit_stack(
         params["blocks"], x, cfg.num_heads, scale,
         rope_cos_sin=(cos, sin), attn_impl=cfg.attn_impl, ln_eps=cfg.ln_eps,

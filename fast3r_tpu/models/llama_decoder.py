@@ -47,6 +47,9 @@ class LlamaDecoderConfig:
     max_seq_len: int = MAX_IMAGE_IDX
     random_image_idx_embedding: bool = True
     attn_impl: str = "xla"
+    # run blocks with RMSNorm/SwiGLU/residual fused into the matmul kernels
+    # on TPU (nn/fused_block.py); auto-falls-back off-TPU / untileable shapes
+    fused_blocks: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -209,8 +212,9 @@ def llama_decoder_forward(
     outputs: Dict[int, jnp.ndarray] = {0: x}
     from fast3r_tpu.nn.fused_block import fused_llama_supported
 
-    fused = (jax.default_backend() == "tpu"
-             and fused_llama_supported(x.shape[:2], cfg))
+    fused = (cfg.fused_blocks and jax.default_backend() == "tpu"
+             and fused_llama_supported(x.shape[:2], cfg,
+                                       itemsize=x.dtype.itemsize))
     block = functools.partial(llama_block, cos=cos, sin=sin, cfg=cfg,
                               fused=fused)
 

@@ -373,18 +373,24 @@ def _fused_block_bwd(num_heads, scale, attn_impl, ln_eps, res, g):
 fused_vit_block.defvjp(_fused_block_fwd, _fused_block_bwd)
 
 
-def fused_block_supported(x_shape, dim: int, mlp_hidden: int) -> bool:
-    """Cheap static check that every kernel in the fused block tiles."""
+def fused_block_supported(x_shape, dim: int, mlp_hidden: int,
+                          itemsize: int = 2) -> bool:
+    """Static check that every kernel in the fused block tiles — the SAME
+    _pick_bm the wrappers use, with the activation dtype's itemsize (weights
+    are cast to x.dtype before entering the kernels, so fp32 inference
+    doubles every resident-weight footprint: the fc1 weight alone is 16.8 MB
+    at fp32 vs the 12 MB budget, and a 2-byte-modeled gate would admit
+    shapes whose kernels then refuse to tile)."""
     m = x_shape[0] * x_shape[1]
     c = dim
     if c % 128 or mlp_hidden % 128:
         return False
-    itemsize = 2  # decided at trace time for bf16/fp32; 2 is conservative
+    it = itemsize
     return (
-        _pick_bm(m, c, 3 * c, 3 * c * c * itemsize, itemsize) > 0
-        and _pick_bm(m, c, c, c * c * itemsize, itemsize) > 0
-        and _pick_bm(m, c, mlp_hidden, c * mlp_hidden * itemsize, itemsize) > 0
-        and _pick_bm(m, mlp_hidden, c, c * mlp_hidden * itemsize, itemsize) > 0
+        _pick_bm(m, c, 3 * c, 3 * c * c * it, it) > 0
+        and _pick_bm(m, c, c, c * c * it, it) > 0
+        and _pick_bm(m, c, mlp_hidden, c * mlp_hidden * it, it) > 0
+        and _pick_bm(m, mlp_hidden, c, c * mlp_hidden * it, it) > 0
     )
 
 
@@ -423,6 +429,10 @@ def _fused_llama_impl(p, x, cos, sin, cfg):
     if x2 is None:
         return None
 
+    # SwiGLU deliberately runs as TWO rms_matmul kernels (x read twice, RMS
+    # recomputed): keeping w1 AND w3 resident together (11.5 MB bf16) would
+    # leave <0.5 MB for token tiles -> bm ~16 rows, i.e. 16/128 of the MXU's
+    # sublanes — far costlier than the ~30 MB/layer of extra HBM traffic.
     g = p["ffn_norm"]["scale"]
     h1 = rms_matmul(x2, g, p["ffn"]["w1"]["w"].astype(dt), cfg.norm_eps,
                     act="silu")
@@ -462,14 +472,15 @@ def _fused_llama_bwd(cfg, res, g):
 fused_llama_block.defvjp(_fused_llama_fwd, _fused_llama_bwd)
 
 
-def fused_llama_supported(x_shape, cfg) -> bool:
-    """Static tiling check for the fused llama block."""
+def fused_llama_supported(x_shape, cfg, itemsize: int = 2) -> bool:
+    """Static tiling check for the fused llama block (see
+    fused_block_supported for the itemsize contract)."""
     m = x_shape[0] * x_shape[1]
     d = cfg.embed_dim
     kvd = cfg.kv_heads * cfg.head_dim
     if d % 128 or kvd % 128 or cfg.ffn_hidden % 128:
         return False
-    it = 2
+    it = itemsize
     return (
         _pick_bm(m, d, d + 2 * kvd, (d * d + 2 * d * kvd) * it, it) > 0
         and _pick_bm(m, d, d, d * d * it, it) > 0

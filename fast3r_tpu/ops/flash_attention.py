@@ -217,20 +217,22 @@ SINGLE_KERNEL_BUDGET = 5 * 1024 * 1024
 
 
 def _pick_single_blocks(b: int, h: int, s: int, skv: int, d: int,
-                        vmem_budget=SINGLE_KERNEL_BUDGET):
+                        itemsize: int = 2, vmem_budget=SINGLE_KERNEL_BUDGET):
     """(bb, hc): divisors of (B, H) maximizing the per-program block under a
-    VMEM budget covering the fp32 score tile + bf16 exp (reused across the
-    inner loop) and the double-buffered q/k/v/o tiles.
+    VMEM budget covering the fp32 score tile + the input-dtype p tile
+    (reused across the inner loop) and the double-buffered q/k/v/o tiles.
+    itemsize: q/k/v dtype size (fp32 inputs double everything but the
+    scores).
 
     The budget is deliberately ~1/3 of the 16 MB scoped-vmem limit: Mosaic's
     actual stack (dot intermediates, relayouts, both output buffers) runs
     well past the nominal tile accounting — an 8 MB-modeled config compiled
     to an 18 MB stack and OOM'd."""
-    fixed = (4 * s * skv      # fp32 scores
-             + 2 * s * skv    # bf16 p
-             + 4 * s * 128    # fp32 acc (+l lanes)
-             + 2 * skv * 128)  # ones-extended v
-    per = 2 * 2 * (2 * s + 2 * skv) * d              # q/o + k/v, dbl-buffered
+    fixed = (4 * s * skv             # fp32 scores
+             + itemsize * s * skv    # p in input dtype
+             + 4 * s * 128           # fp32 acc (+l lanes)
+             + itemsize * skv * 128)  # ones-extended v
+    per = 2 * itemsize * (2 * s + 2 * skv) * d       # q/o + k/v, dbl-buffered
     best, best_sz = (0, 0), 0
     for hc in (x for x in range(1, h + 1) if h % x == 0):
         for bb in (x for x in range(1, b + 1) if b % x == 0):
@@ -244,7 +246,7 @@ def _pick_single_blocks(b: int, h: int, s: int, skv: int, d: int,
 def _flash_forward_single(q, k, v, scale):
     B, H, S, D = q.shape
     Skv = k.shape[2]
-    bb, hc = _pick_single_blocks(B, H, S, Skv, D)
+    bb, hc = _pick_single_blocks(B, H, S, Skv, D, q.dtype.itemsize)
     o, lse = pl.pallas_call(
         functools.partial(_fwd_single_kernel, scale=scale, inner=bb * hc,
                           hc=hc),
@@ -272,14 +274,19 @@ def _flash_forward_single(q, k, v, scale):
 
 def _flash_forward(q, k, v, scale, bq, bk,
                    split=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """split=None auto-picks the partial-softmax sub-chain count for bk
-    (a single chain at bk=3840 is a 15.7 MB fp32 score tile -> VMEM OOM);
-    pass an explicit int to force (sweeps)."""
-    if split is None:
+    """split=None is the production auto mode: consider the whole-sequence
+    single kernel first, then the tiled kernel with an auto-picked
+    partial-softmax sub-chain count (a single chain at bk=3840 is a 15.7 MB
+    fp32 score tile -> VMEM OOM).  An explicit split int forces the tiled
+    kernel with exactly the caller's (bq, bk, split) — sweeps depend on
+    this (an earlier auto-dispatch silently routed every swept config to
+    the same single kernel)."""
+    auto = split is None
+    if auto:
         split = _pick_split(bk)
     B, H, S, D = q.shape
     Skv = k.shape[2]
-    if _pick_single_blocks(B, H, S, Skv, D)[0]:
+    if auto and _pick_single_blocks(B, H, S, Skv, D, q.dtype.itemsize)[0]:
         return _flash_forward_single(q, k, v, scale)
     grid = (B, H, S // bq, Skv // bk)
 
@@ -471,14 +478,14 @@ def _flash_backward(q, k, v, o, lse, do, scale, bq, bk, dlse=None):
 def _flash_bhsd(q, k, v, scale):
     bq = _pick_block(q.shape[2], MAX_BLOCK_Q)
     bk = _pick_block(k.shape[2], MAX_BLOCK_KV)
-    o, _ = _flash_forward(q, k, v, scale, bq, bk, split=_pick_split(bk))
+    o, _ = _flash_forward(q, k, v, scale, bq, bk)
     return o
 
 
 def _flash_bhsd_fwd(q, k, v, scale):
     bq = _pick_block(q.shape[2], MAX_BLOCK_Q)
     bk = _pick_block(k.shape[2], MAX_BLOCK_KV)
-    o, lse = _flash_forward(q, k, v, scale, bq, bk, split=_pick_split(bk))
+    o, lse = _flash_forward(q, k, v, scale, bq, bk)
     return o, (q, k, v, o, lse)
 
 

@@ -113,3 +113,17 @@ def test_fused_block_grads_match_plain(block_setup):
         np.testing.assert_allclose(
             np.asarray(path_got[1]), np.asarray(path_ref[1]),
             rtol=5e-4, atol=5e-5, err_msg=str(path_ref[0]))
+
+
+def test_supported_gate_respects_dtype():
+    """fp32 doubles the resident-weight footprint (weights are cast to
+    x.dtype): the flagship shapes tile at bf16 but NOT at fp32 — the gate
+    must agree with the kernels' own _pick_bm or TPU tracing asserts
+    (regression: fp32 serving crashed instead of falling back)."""
+    from fast3r_tpu.models.llama_decoder import LlamaDecoderConfig
+
+    assert fb.fused_block_supported((20, 768), 1024, 4096, itemsize=2)
+    assert not fb.fused_block_supported((20, 768), 1024, 4096, itemsize=4)
+    cfg = LlamaDecoderConfig()
+    assert fb.fused_llama_supported((1, 15360), cfg, itemsize=2)
+    assert not fb.fused_llama_supported((1, 15360), cfg, itemsize=4)
