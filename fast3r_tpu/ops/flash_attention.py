@@ -52,7 +52,8 @@ LN2 = 0.6931471805599453
 # sub-block j's exp2 passes, and halve the live score tile so bigger kv
 # blocks fit VMEM.  r2 sweep at S=15360: (1024,3840)x3 85.8, (1024,3072)x2
 # 84.4, (1024,1536)x1 81.7, (512,1536)x1 72.9 TFLOP/s (70.7 pre-MXU-row-sum,
-# 57.7 r1 best).  Backward keeps more live buffers -> smaller blocks.
+# 57.7 r1 best); (1280,3840)x3 exceeds VMEM — bq=1024 is the ceiling.
+# Backward keeps more live buffers -> smaller blocks.
 MAX_BLOCK_Q = 1024
 MAX_BLOCK_KV = 3840
 MAX_SUB_KV = 1536
