@@ -63,8 +63,13 @@ def dot_product_attention(
             # bf16 logits: XLA materializes the logits at the dot boundary
             # either way (cost_analysis r2: 0.8 GB fp32 per encoder layer,
             # the whole path HBM-bound at 3.6 ms/layer), so round them to
-            # bf16 — the reference's bf16 SDPA precision — and keep the
-            # softmax statistics in fp32 on the fly (registers, not HBM).
+            # bf16 and keep the softmax statistics in fp32 on the fly
+            # (registers, not HBM).  Precision note: this matches torch's
+            # MATH-backend SDPA under bf16 autocast (bf16 logits); torch's
+            # flash/mem-efficient SDPA keeps fp32-accumulated logits, as the
+            # "pallas" impl here does — so "xla" and "pallas" differ by bf16
+            # logit rounding (~2^-9 relative, gated by
+            # tests/test_flash_attention.py::test_xla_bf16_vs_pallas).
             # MXU accumulation is fp32 regardless of the output dtype.
             qs = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
             logits = jnp.einsum(

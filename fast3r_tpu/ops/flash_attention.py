@@ -67,6 +67,7 @@ MAX_BLOCK_KV_BWD = 2560
 def _pick_split(bk: int, max_sub: int = None) -> int:
     """Smallest sub-chain count with bk/split <= MAX_SUB_KV, split | bk and
     the sub-block a sublane multiple."""
+    assert bk % 8 == 0, f"bk={bk} must be a sublane multiple"
     max_sub = max_sub or MAX_SUB_KV
     split = -(-bk // max_sub)
     while bk % split or (bk // split) % 8:
@@ -285,6 +286,12 @@ def _flash_forward(q, k, v, scale, bq, bk,
     auto = split is None
     if auto:
         split = _pick_split(bk)
+    else:
+        # caller-supplied split (sweeps): a non-dividing split would silently
+        # drop kv columns (the loop covers only split*(bk//split) of them)
+        assert bk % split == 0 and (bk // split) % 8 == 0, (
+            f"split={split} must divide bk={bk} into sublane-multiple "
+            "sub-blocks")
     B, H, S, D = q.shape
     Skv = k.shape[2]
     if auto and _pick_single_blocks(B, H, S, Skv, D, q.dtype.itemsize)[0]:
@@ -324,6 +331,13 @@ def _flash_forward(q, k, v, scale, bq, bk,
 # ---------------------------------------------------------------------------
 # backward
 # ---------------------------------------------------------------------------
+# Precision note (deliberate, r2): the forward's row-sum l — and hence the
+# saved lse — is accumulated from the bf16-rounded p via the ones-extended PV
+# matmul, while these kernels recompute p in fp32 from that lse: a ~2^-9
+# relative forward/backward inconsistency that did not exist when l was summed
+# from fp32 p.  o = (p@v)/(p@1) stays self-consistent in the forward and
+# gradient error stays at bf16-noise level (tests/test_flash_attention.py
+# gradient-parity tolerances) — do not "fix" one side without the other.
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                    dq_scr, *, scale: float, kv_steps: int):

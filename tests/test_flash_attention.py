@@ -79,6 +79,43 @@ def test_xla_bf16_logits_close_to_fp32():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=0.05, atol=0.05)
 
 
+def test_xla_bf16_vs_pallas():
+    """'xla' (bf16-rounded logits, torch math-SDPA precision) vs 'pallas'
+    (fp32-accumulated logits, torch flash-SDPA precision) on the production
+    encoder shape family: the two impls deliberately differ by bf16 logit
+    rounding only (~2^-9 relative) — gate that gap (ADVICE r2)."""
+    rng = np.random.default_rng(11)
+    B, S, H, D = 2, 768, 4, 64  # per-view encoder attention at 512x384
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.bfloat16)
+        for _ in range(3)
+    )
+    scale = D ** -0.5
+    xla = dot_product_attention(q, k, v, scale, impl="xla")
+    pallas = _flash_interpret(q, k, v, scale)
+    np.testing.assert_allclose(
+        np.asarray(xla, dtype=np.float32), np.asarray(pallas, np.float32),
+        rtol=0.05, atol=0.05)
+
+
+def test_caller_split_must_divide():
+    """A sweep-supplied split that does not divide bk is rejected, not
+    silently wrong (ADVICE r2: dropped kv columns)."""
+    from fast3r_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(12)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((1, 256, 2, 64)), jnp.float32)
+        for _ in range(3)
+    )
+    qt = jnp.swapaxes(q, 1, 2)
+    with pytest.raises(AssertionError):
+        fa._flash_forward(qt, jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2),
+                          0.125, 128, 256, split=3)
+    with pytest.raises(AssertionError):
+        fa._pick_split(4)
+
+
 def test_flash_small_seq_fallback():
     """Sequences not tileable by 128 fall back to naive silently."""
     rng = np.random.default_rng(2)
