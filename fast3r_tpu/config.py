@@ -137,6 +137,39 @@ def _resolve_interpolations(cfg: Dict) -> Dict:
     return walk(cfg)
 
 
+def _load_overlay(path: str, exp_root: str, _seen=None) -> Dict:
+    """Load one experiment yaml, resolving its ``extends:`` chain first (the
+    reference's Hydra ``defaults: - group/default`` composition,
+    configs/experiment/data_scaling/data_scaling_0.25.yaml:3-4).  ``extends``
+    is a name or list of names resolved relative to the file's directory,
+    falling back to the experiment root."""
+    _seen = _seen or set()
+    real = os.path.realpath(path)
+    if real in _seen:
+        raise ValueError(f"extends cycle through {path}")
+    _seen.add(real)
+    with open(path) as f:
+        overlay = yaml.safe_load(f) or {}
+    parents = overlay.pop("extends", None)
+    if parents is None:
+        return overlay
+    if isinstance(parents, str):
+        parents = [parents]
+    merged: Dict = {}
+    for name in parents:
+        cand = [name, name + ".yaml"] if name.endswith(".yaml") else [
+            name + ".yaml"]
+        for c in list(cand):
+            cand.append(os.path.join(os.path.dirname(path), c))
+            cand.append(os.path.join(exp_root, c))
+        parent_path = next((c for c in cand if os.path.exists(c)), None)
+        if parent_path is None:
+            raise FileNotFoundError(f"extends target {name!r} (from {path})")
+        merged = deep_merge(merged, _load_overlay(parent_path, exp_root,
+                                                  _seen))
+    return deep_merge(merged, overlay)
+
+
 def load_config(
     base_path: str,
     experiment: Optional[str] = None,
@@ -144,14 +177,12 @@ def load_config(
 ) -> Dict:
     with open(base_path) as f:
         cfg = yaml.safe_load(f) or {}
+    exp_root = os.path.join(os.path.dirname(base_path), "experiment")
     if experiment:
         exp_path = experiment
         if not os.path.exists(exp_path):
-            exp_path = os.path.join(
-                os.path.dirname(base_path), "experiment", experiment + ".yaml"
-            )
-        with open(exp_path) as f:
-            cfg = deep_merge(cfg, yaml.safe_load(f) or {})
+            exp_path = os.path.join(exp_root, experiment + ".yaml")
+        cfg = deep_merge(cfg, _load_overlay(exp_path, exp_root))
     for ov in overrides:
         key, value = parse_override(ov)
         set_dotted(cfg, key, value)

@@ -79,3 +79,42 @@ def build_dataset(expr: str):
 
     tree = ast.parse(expr.strip(), mode="eval")
     return _build(tree.body)
+
+
+def _validate(node: ast.AST) -> None:
+    """Same grammar walk as _build, minus construction."""
+    if isinstance(node, ast.BinOp):
+        if isinstance(node.op, ast.Add):
+            _validate(node.left)
+            _validate(node.right)
+            return
+        if isinstance(node.op, (ast.MatMult, ast.Mult)):
+            n = _literal(node.left)
+            assert isinstance(n, int), f"left of @/* must be int, got {n!r}"
+            _validate(node.right)
+            return
+        raise ValueError(f"unsupported operator {ast.dump(node.op)}")
+    if isinstance(node, ast.Call):
+        assert isinstance(node.func, ast.Name), "dataset call must be a name"
+        name = node.func.id
+        if name not in DATASET_REGISTRY:
+            raise KeyError(
+                f"unknown dataset {name!r}; registered: "
+                f"{sorted(DATASET_REGISTRY)}"
+            )
+        for a in node.args:
+            _literal(a)
+        for kw in node.keywords:
+            _literal(kw.value)
+        return
+    raise ValueError(f"unsupported expression {ast.dump(node)}")
+
+
+def validate_dataset_spec(expr: str) -> None:
+    """Check a dataset DSL string parses and names only registered datasets,
+    WITHOUT constructing anything (no filesystem access) — config validation
+    for overlays whose data roots are not mounted."""
+    import fast3r_tpu.data.datasets  # noqa: F401 — populates the registry
+
+    tree = ast.parse(expr.strip(), mode="eval")
+    _validate(tree.body)

@@ -52,3 +52,66 @@ def test_save_roundtrip(cfg_dir, tmp_path):
     path = save_config(cfg, str(tmp_path / "run"))
     cfg2 = load_config(path)
     assert cfg2 == cfg
+
+
+def test_extends_chain(tmp_path):
+    """Experiment overlays compose via extends: (the reference's Hydra
+    defaults chaining)."""
+    (tmp_path / "base.yaml").write_text("a: 1\nb: base\n")
+    exp = tmp_path / "experiment" / "grp"
+    exp.mkdir(parents=True)
+    (exp / "default.yaml").write_text("b: grp\nc: 3\n")
+    (exp / "v.yaml").write_text("extends: default\nc: 4\nd: 5\n")
+    cfg = load_config(str(tmp_path / "base.yaml"), experiment="grp/v")
+    assert cfg == {"a": 1, "b": "grp", "c": 4, "d": 5}
+
+
+def test_extends_cycle_rejected(tmp_path):
+    (tmp_path / "base.yaml").write_text("a: 1\n")
+    exp = tmp_path / "experiment"
+    exp.mkdir()
+    (exp / "x.yaml").write_text("extends: y\n")
+    (exp / "y.yaml").write_text("extends: x\n")
+    with pytest.raises(ValueError):
+        load_config(str(tmp_path / "base.yaml"), experiment="x")
+
+
+_SCALING_PRESETS = [
+    "data_scaling/data_scaling_0.125",
+    "data_scaling/data_scaling_0.25",
+    "data_scaling/data_scaling_0.5",
+    "data_scaling/data_scaling_1.0",
+    "model_scaling/model_scaling_base",
+    "model_scaling/model_scaling_large",
+    "model_scaling/model_scaling_huge",
+]
+
+
+@pytest.mark.parametrize("preset", _SCALING_PRESETS)
+def test_scaling_presets_load(preset):
+    """The reference's data_scaling x4 / model_scaling x3 experiment overlays
+    (reference configs/experiment/{data_scaling,model_scaling}/) resolve
+    through the loader, the typed model builder, and the dataset DSL parser."""
+    import fast3r_tpu
+    from fast3r_tpu.config import model_config_from_dict
+    from fast3r_tpu.data.dsl import validate_dataset_spec
+
+    base = os.path.join(os.path.dirname(fast3r_tpu.__file__), "configs",
+                        "train.yaml")
+    cfg = load_config(base, experiment=preset)
+    assert cfg["task_name"] == preset.split("/")[1]
+    mc = model_config_from_dict(cfg["model"])
+    if "data_scaling" in preset:
+        expected = float(preset.rsplit("_", 1)[1])
+        assert cfg["data"]["data_scaling"] == expected
+        assert f"data_scaling={expected}" in cfg["data"]["train_datasets"][0]
+        assert mc.decoder.embed_dim == 768  # group keeps the base decoder
+    else:
+        dims = {"base": (768, 12, 12), "large": (1024, 24, 16),
+                "huge": (1280, 32, 16)}[preset.rsplit("_", 1)[1]]
+        assert (mc.decoder.embed_dim, mc.decoder.depth,
+                mc.decoder.num_heads) == dims
+    # every dataset expression parses under the safe DSL (no eval, no fs)
+    for expr in (cfg["data"]["train_datasets"]
+                 + cfg["data"]["validation_datasets"]):
+        validate_dataset_spec(expr)
