@@ -33,7 +33,7 @@ from fast3r_tpu.models.decoder import DecoderConfig, decoder_forward
 from fast3r_tpu.models.dpt_head import DPTHeadConfig, dpt_head_forward
 from fast3r_tpu.models.encoder import EncoderConfig, encoder_forward
 from fast3r_tpu.models.fast3r import Fast3RConfig, fast3r_forward, init_fast3r
-from fast3r_tpu.utils.checkpoint import torch_state_dict_to_params
+from fast3r_tpu.utils.checkpoint import params_from_fast3r_checkpoint
 
 
 def config_from_reference_args(
@@ -42,6 +42,21 @@ def config_from_reference_args(
 ) -> Fast3RConfig:
     """Build a Fast3RConfig from the reference's *_args dicts (the HF
     checkpoint config.json format, fast3r/models/fast3r.py:50-70)."""
+    if encoder_args.get("encoder_type", "croco") == "dino":
+        from fast3r_tpu.models.dino_encoder import DinoEncoderConfig
+
+        # the reference DinoEncoder pins a hub ViT-L/14 (fast3r.py:561-570);
+        # dims are overridable here for tests
+        enc = DinoEncoderConfig(
+            patch_size=encoder_args.get("patch_size", 14),
+            embed_dim=encoder_args.get("embed_dim", 1024),
+            depth=encoder_args.get("depth", 24),
+            num_heads=encoder_args.get("num_heads", 16),
+            mlp_ratio=encoder_args.get("mlp_ratio", 4.0),
+            pos_embed_size=encoder_args.get("pos_embed_size", 37),
+            attn_impl=attn_impl,
+        )
+        return _assemble_config(enc, decoder_args, head_args, attn_impl)
     enc = EncoderConfig(
         img_size=encoder_args.get("img_size", 512),
         patch_size=encoder_args.get("patch_size", 16),
@@ -53,6 +68,11 @@ def config_from_reference_args(
         rope_base=float(str(encoder_args.get("pos_embed", "RoPE100"))[len("RoPE"):]),
         attn_impl=attn_impl,
     )
+    return _assemble_config(enc, decoder_args, head_args, attn_impl)
+
+
+def _assemble_config(enc, decoder_args: Dict, head_args: Dict,
+                     attn_impl: str) -> Fast3RConfig:
     if decoder_args.get("decoder_type", "fast3r") == "llama":
         from fast3r_tpu.models.llama_decoder import LlamaDecoderConfig
 
@@ -139,9 +159,7 @@ class Fast3R:
             attn_impl=attn_impl,
         )
         sd = _load_state_dict_file(path)
-        params = torch_state_dict_to_params(
-            sd, cfg.encoder.depth, cfg.decoder.depth, cfg.with_local_head,
-        )
+        params = params_from_fast3r_checkpoint(sd, cfg)
         return cls(cfg, params, dtype)
 
     # ---- forward -----------------------------------------------------------
@@ -203,6 +221,40 @@ def _views_to_arrays(views: Sequence[Dict]) -> Tuple[List[np.ndarray], List[Tupl
     return imgs, shapes
 
 
+def _make_encoder_fn(cfg: Fast3RConfig):
+    """Per-variant encoder dispatch for the serving path (croco uses the
+    inference patch-embed override, reference checkpoint_utils.py:36-38;
+    dino has no such knob)."""
+    if cfg.encoder_type == "dino":
+        from fast3r_tpu.models.dino_encoder import dino_encoder_forward
+
+        def encode(params, batch):
+            feats, _ = dino_encoder_forward(params["encoder"], cfg.encoder,
+                                            batch)
+            return feats
+    else:
+        enc_cfg = EncoderConfig(
+            **{**cfg.encoder.__dict__, "patch_embed_cls": "PatchEmbedDust3R"}
+        )
+
+        def encode(params, batch):
+            feats, _ = encoder_forward(params["encoder"], enc_cfg, batch)
+            return feats
+    return encode
+
+
+def _decode_hooks(params, cfg: Fast3RConfig, fused, image_ids,
+                  num_views: int):
+    """Per-variant fusion-decoder dispatch returning the {hook: act} dict."""
+    if cfg.decoder_type == "llama":
+        from fast3r_tpu.models.llama_decoder import llama_decoder_forward
+
+        return llama_decoder_forward(params["decoder"], cfg.decoder, fused,
+                                     image_ids, num_views=num_views)
+    return decoder_forward(params["decoder"], cfg.decoder, fused, image_ids,
+                           is_training=False)
+
+
 def _build_varshape_forward(model: Fast3R, shape_sig: Tuple[Tuple[int, int], ...]):
     """Compile a forward for one shape composition (B=1 per view).
 
@@ -215,9 +267,7 @@ def _build_varshape_forward(model: Fast3R, shape_sig: Tuple[Tuple[int, int], ...
     ps = cfg.encoder.patch_size
     patch_counts = [(h // ps) * (w // ps) for (h, w) in shape_sig]
     offsets = np.cumsum([0] + patch_counts)
-    inference_enc_cfg = EncoderConfig(
-        **{**cfg.encoder.__dict__, "patch_embed_cls": "PatchEmbedDust3R"}
-    )
+    encode = _make_encoder_fn(cfg)
 
     unique_shapes = sorted(set(shape_sig))
     groups = {
@@ -230,14 +280,13 @@ def _build_varshape_forward(model: Fast3R, shape_sig: Tuple[Tuple[int, int], ...
         feats_per_view: List[Optional[jnp.ndarray]] = [None] * V
         for s, idxs in groups.items():
             batch = jnp.concatenate([imgs[i] for i in idxs], axis=0)
-            feats, _ = encoder_forward(params["encoder"], inference_enc_cfg, batch)
+            feats = encode(params, batch)
             for j, i in enumerate(idxs):
                 feats_per_view[i] = feats[j:j + 1]
         fused = jnp.concatenate(feats_per_view, axis=1)  # (1, S, D)
 
         image_ids = _inference_image_ids(cfg.decoder, patch_counts)
-        dec_out = decoder_forward(params["decoder"], cfg.decoder, fused,
-                                  image_ids, is_training=False)
+        dec_out = _decode_hooks(params, cfg, fused, image_ids, V)
 
         hooks = cfg.decoder.hooks
         results = []
@@ -301,8 +350,7 @@ def _forward_views_staged(model: Fast3R, imgs, shape_sig):
     V = len(shape_sig)
     key = ("staged",) + tuple(shape_sig)
     if key not in model._jit_cache:
-        inference_enc_cfg = EncoderConfig(
-            **{**cfg.encoder.__dict__, "patch_embed_cls": "PatchEmbedDust3R"})
+        encode = _make_encoder_fn(cfg)
 
         def enc_fn(params, *ims):
             groups: Dict[Tuple[int, int], list] = {}
@@ -311,16 +359,14 @@ def _forward_views_staged(model: Fast3R, imgs, shape_sig):
             feats = [None] * V
             for s, idxs in groups.items():
                 batch = jnp.concatenate([ims[i] for i in idxs], axis=0)
-                f, _ = encoder_forward(params["encoder"], inference_enc_cfg,
-                                       batch)
+                f = encode(params, batch)
                 for j, i in enumerate(idxs):
                     feats[i] = f[j:j + 1]
             return jnp.concatenate(feats, axis=1)
 
         def dec_fn(params, fused):
             ids = _inference_image_ids(cfg.decoder, patch_counts)
-            out = decoder_forward(params["decoder"], cfg.decoder, fused, ids,
-                                  is_training=False)
+            out = _decode_hooks(params, cfg, fused, ids, V)
             return [out[h] for h in cfg.decoder.hooks]
 
         def head_fn(params, hook_list):
@@ -376,17 +422,14 @@ def _build_raw_forward(model: Fast3R, src_hw: Tuple[int, int], num_views: int,
     h, w = plan.out_hw
     ps = cfg.encoder.patch_size
     Pq = (h // ps) * (w // ps)
-    inference_enc_cfg = EncoderConfig(
-        **{**cfg.encoder.__dict__, "patch_embed_cls": "PatchEmbedDust3R"}
-    )
+    encode = _make_encoder_fn(cfg)
 
     def fn(params, raw_u8):
         imgs = preprocess_device(raw_u8, plan, model.dtype)  # (V, h, w, 3)
-        feats, _ = encoder_forward(params["encoder"], inference_enc_cfg, imgs)
+        feats = encode(params, imgs)
         fused = feats.reshape(1, num_views * Pq, -1)
         image_ids = _inference_image_ids(cfg.decoder, [Pq] * num_views)
-        dec_out = decoder_forward(params["decoder"], cfg.decoder, fused,
-                                  image_ids, is_training=False)
+        dec_out = _decode_hooks(params, cfg, fused, image_ids, num_views)
         tokens = [
             dec_out[k].reshape(num_views, Pq, -1) for k in cfg.decoder.hooks
         ]

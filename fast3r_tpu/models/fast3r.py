@@ -59,6 +59,12 @@ class Fast3RConfig:
 
         return "llama" if isinstance(self.decoder, LlamaDecoderConfig) else "fast3r"
 
+    @property
+    def encoder_type(self) -> str:
+        from fast3r_tpu.models.dino_encoder import DinoEncoderConfig
+
+        return "dino" if isinstance(self.encoder, DinoEncoderConfig) else "croco"
+
     @staticmethod
     def flagship(attn_impl: str = "pallas") -> "Fast3RConfig":
         """ViT-L/16 encoder + 1024x24 fusion decoder + dual DPT heads
@@ -108,8 +114,14 @@ def init_fast3r(key, cfg: Fast3RConfig, dtype=jnp.float32) -> Params:
         dec = init_llama_decoder(k2, cfg.decoder, dtype)
     else:
         dec = init_decoder(k2, cfg.decoder, dtype)
+    if cfg.encoder_type == "dino":
+        from fast3r_tpu.models.dino_encoder import init_dino_encoder
+
+        enc = init_dino_encoder(k1, cfg.encoder, dtype)
+    else:
+        enc = init_encoder(k1, cfg.encoder, dtype)
     params = {
-        "encoder": init_encoder(k1, cfg.encoder, dtype),
+        "encoder": enc,
         "decoder": dec,
         "head_global": init_dpt_head(k3, cfg.head, dtype),
     }
@@ -196,8 +208,14 @@ def fast3r_forward(
     # ---- encoder over all B*V images (fast3r.py:250-296) ----
     flat_imgs = imgs.reshape(B * V, H, W, 3)
     flat_shapes = true_shapes.reshape(B * V, 2)
-    feats, _pos = encoder_forward(params["encoder"], cfg.encoder, flat_imgs,
-                                  flat_shapes, remat=remat)
+    if cfg.encoder_type == "dino":
+        from fast3r_tpu.models.dino_encoder import dino_encoder_forward
+
+        feats, _pos = dino_encoder_forward(params["encoder"], cfg.encoder,
+                                           flat_imgs, flat_shapes)
+    else:
+        feats, _pos = encoder_forward(params["encoder"], cfg.encoder,
+                                      flat_imgs, flat_shapes, remat=remat)
     P = feats.shape[1]
     fused = feats.reshape(B, V * P, -1)
 

@@ -93,6 +93,96 @@ def fast3r_key_map(enc_depth: int, dec_depth: int, with_local_head: bool
     return entries
 
 
+def llama_decoder_entries(n_layers: int) -> List[Tuple[str, Tuple, str]]:
+    """Llama fusion-decoder tensors (reference fast3r.py:810-858 LlamaDecoder
+    wrapping components/llama.py TransformerBlock).  ``tensor`` kind entries
+    are raw parameters (no .weight suffix); RMSNorm weights map through the
+    bias-less ``ln`` kind."""
+    entries: List[Tuple[str, Tuple, str]] = [
+        ("decoder.view0_embed", ("decoder", "view0_embed"), "tensor"),
+        ("decoder.decoder_embed", ("decoder", "decoder_embed"), "linear"),
+        ("decoder.norm", ("decoder", "norm"), "ln"),
+    ]
+    for i in range(n_layers):
+        p = f"decoder.layers.{i}."
+        pa = ("decoder", "layers", i)
+        entries += [
+            (p + "attention_norm", pa + ("attention_norm",), "ln"),
+            (p + "attention.wq", pa + ("attn", "wq"), "linear"),
+            (p + "attention.wk", pa + ("attn", "wk"), "linear"),
+            (p + "attention.wv", pa + ("attn", "wv"), "linear"),
+            (p + "attention.wo", pa + ("attn", "wo"), "linear"),
+            (p + "ffn_norm", pa + ("ffn_norm",), "ln"),
+            (p + "feed_forward.w1", pa + ("ffn", "w1"), "linear"),
+            (p + "feed_forward.w2", pa + ("ffn", "w2"), "linear"),
+            (p + "feed_forward.w3", pa + ("ffn", "w3"), "linear"),
+        ]
+    return entries
+
+
+def dino_encoder_entries(depth: int) -> List[Tuple[str, Tuple, str]]:
+    """DinoEncoder tensors (reference fast3r.py:561-570 wraps a torch.hub
+    dinov2 ViT as ``self.model`` -> state-dict prefix ``encoder.model.`` with
+    the hub layout models/dino_encoder.load_dinov2_state_dict documents)."""
+    pre = "encoder.model."
+    entries: List[Tuple[str, Tuple, str]] = [
+        (pre + "patch_embed.proj", ("encoder", "patch_embed"), "conv"),
+        (pre + "cls_token", ("encoder", "cls_token"), "tensor"),
+        (pre + "pos_embed", ("encoder", "pos_embed"), "tensor"),
+        (pre + "norm", ("encoder", "norm"), "ln"),
+    ]
+    for i in range(depth):
+        entries += _block_entries(f"{pre}blocks.{i}.",
+                                  ("encoder", "blocks", i))
+        entries += [
+            (f"{pre}blocks.{i}.ls1.gamma", ("encoder", "ls1", i), "tensor"),
+            (f"{pre}blocks.{i}.ls2.gamma", ("encoder", "ls2", i), "tensor"),
+        ]
+    return entries
+
+
+def _variant_key_map(cfg) -> Tuple[List[Tuple[str, Tuple, str]],
+                                   List[Tuple[Tuple, int, bool]]]:
+    """(entries, stacks) for any Fast3RConfig variant: croco|dino encoder x
+    fast3r|llama decoder.  stacks lists (path, depth, as_array): subtrees
+    whose integer-keyed layers collapse onto a leading layer axis — as dicts
+    of stacked arrays (blocks/layers) or as one stacked array (LayerScale
+    gammas)."""
+    entries: List[Tuple[str, Tuple, str]] = []
+    stacks: List[Tuple[Tuple, int, bool]] = []
+    if cfg.encoder_type == "dino":
+        d = cfg.encoder.depth
+        entries += dino_encoder_entries(d)
+        stacks += [(("encoder", "blocks"), d, False),
+                   (("encoder", "ls1"), d, True),
+                   (("encoder", "ls2"), d, True)]
+    else:
+        entries += [
+            ("encoder.patch_embed.proj", ("encoder", "patch_embed"), "conv"),
+            ("encoder.enc_norm", ("encoder", "norm"), "ln"),
+        ]
+        for i in range(cfg.encoder.depth):
+            entries += _block_entries(f"encoder.enc_blocks.{i}.",
+                                      ("encoder", "blocks", i))
+        stacks += [(("encoder", "blocks"), cfg.encoder.depth, False)]
+    if cfg.decoder_type == "llama":
+        entries += llama_decoder_entries(cfg.decoder.n_layers)
+        stacks += [(("decoder", "layers"), cfg.decoder.n_layers, False)]
+    else:
+        entries += [
+            ("decoder.decoder_embed", ("decoder", "decoder_embed"), "linear"),
+            ("decoder.dec_norm", ("decoder", "norm"), "ln"),
+        ]
+        for i in range(cfg.decoder.depth):
+            entries += _block_entries(f"decoder.dec_blocks.{i}.",
+                                      ("decoder", "blocks", i))
+        stacks += [(("decoder", "blocks"), cfg.decoder.depth, False)]
+    entries += _head_entries("downstream_head", "head_global")
+    if cfg.with_local_head:
+        entries += _head_entries("downstream_head_local", "head_local")
+    return entries, stacks
+
+
 def _to_jax_tensors(kind: str, w: np.ndarray, b: Optional[np.ndarray]) -> Params:
     if kind == "linear":
         p = {"w": np.ascontiguousarray(w.T)}
@@ -118,7 +208,9 @@ def _from_jax_tensors(kind: str, p: Params) -> Tuple[np.ndarray, Optional[np.nda
     elif kind == "convT":
         w = np.ascontiguousarray(np.asarray(p["w"]).transpose(2, 3, 0, 1))
     elif kind == "ln":
-        return np.asarray(p["scale"]), np.asarray(p.get("bias"))
+        # bias absent for RMSNorm weights (llama decoder)
+        return (np.asarray(p["scale"]),
+                np.asarray(p["bias"]) if "bias" in p else None)
     else:
         raise ValueError(kind)
     b = p.get("b")
@@ -168,28 +260,99 @@ def torch_state_dict_to_params(
 
     # stack per-layer block params onto the leading layer axis
     for name, depth in (("encoder", enc_depth), ("decoder", dec_depth)):
-        layers = tree[name]["blocks"]
-        stacked = {}
-        first = layers[0]
-
-        def stack(path):
-            def get(d, pth):
-                for k in pth:
-                    d = d[k]
-                return d
-            return np.stack([get(layers[i], path) for i in range(depth)])
-
-        def walk(node, path):
-            out = {}
-            for k, v in node.items():
-                if isinstance(v, dict):
-                    out[k] = walk(v, path + (k,))
-                else:
-                    out[k] = stack(path + (k,))
-            return out
-
-        tree[name]["blocks"] = walk(first, ())
+        tree[name]["blocks"] = _stack_layer_dicts(tree[name]["blocks"], depth)
     return _intdicts_to_lists(tree)
+
+
+def _stack_layer_dicts(layers: Dict[int, Params], depth: int) -> Params:
+    """{0: {...}, 1: {...}} per-layer dicts -> one dict of stacked arrays."""
+    def get(d, pth):
+        for k in pth:
+            d = d[k]
+        return d
+
+    def walk(node, path):
+        out = {}
+        for k, v in node.items():
+            if isinstance(v, dict):
+                out[k] = walk(v, path + (k,))
+            else:
+                out[k] = np.stack(
+                    [get(layers[i], path + (k,)) for i in range(depth)])
+        return out
+
+    return walk(layers[0], ())
+
+
+def params_from_fast3r_checkpoint(
+    state_dict: Dict[str, np.ndarray], cfg, strip_net_prefix: bool = True,
+) -> Params:
+    """Variant-aware torch-checkpoint -> param-pytree conversion: handles
+    every Fast3RConfig combination (croco|dino encoder x fast3r|llama
+    decoder).  Supersedes torch_state_dict_to_params (kept for the
+    croco+fast3r fast path its callers pin)."""
+    sd = {}
+    for k, v in state_dict.items():
+        if strip_net_prefix and k.startswith("net."):
+            k = k[len("net."):]
+        sd[k] = np.asarray(getattr(v, "numpy", lambda: v)()
+                           if hasattr(v, "numpy") else v)
+
+    entries, stacks = _variant_key_map(cfg)
+    tree: Params = {}
+    for prefix, path, kind in entries:
+        if kind == "tensor":
+            if prefix not in sd:
+                raise KeyError(f"missing checkpoint tensor {prefix}")
+            _set_path(tree, path, sd[prefix])
+            continue
+        wkey, bkey = prefix + ".weight", prefix + ".bias"
+        if wkey not in sd:
+            raise KeyError(f"missing checkpoint tensor {wkey}")
+        _set_path(tree, path, _to_jax_tensors(kind, sd[wkey], sd.get(bkey)))
+
+    for path, depth, as_array in stacks:
+        parent = _get_path(tree, path[:-1])
+        layers = parent[path[-1]]
+        if as_array:
+            parent[path[-1]] = np.stack([layers[i] for i in range(depth)])
+        else:
+            parent[path[-1]] = _stack_layer_dicts(layers, depth)
+    return _intdicts_to_lists(tree)
+
+
+def fast3r_params_to_state_dict(params: Params, cfg) -> Dict[str, np.ndarray]:
+    """Variant-aware reverse conversion (export / golden tests); see
+    params_from_fast3r_checkpoint."""
+    entries, stacks = _variant_key_map(cfg)
+    stacked_roots = {path[-1] for path, _, _ in stacks}
+    sd: Dict[str, np.ndarray] = {}
+    for prefix, path, kind in entries:
+        layer = None
+        if (len(path) >= 3 and isinstance(path[2], int)
+                and path[1] in stacked_roots):
+            layer = path[2]
+            node = _get_path(params, (path[0], path[1]) + path[3:])
+        else:
+            node = _get_path(params, path)
+        if kind == "tensor":
+            arr = np.asarray(node if layer is None else np.asarray(node)[layer])
+            sd[prefix] = np.ascontiguousarray(arr)
+            continue
+        if layer is not None:
+            node = {k: np.asarray(v)[layer] for k, v in _flatten1(node).items()}
+        else:
+            node = {k: np.asarray(v) for k, v in _flatten1(node).items()}
+        w, b = _from_jax_tensors(kind, node)
+        sd[prefix + ".weight"] = w
+        if b is not None:
+            sd[prefix + ".bias"] = b
+    # reference DPT layer_rn aliasing (see params_to_torch_state_dict)
+    for key in list(sd):
+        m = re.match(r"(.*scratch\.)layer(\d)_rn(\..*)", key)
+        if m:
+            sd[f"{m.group(1)}layer_rn.{int(m.group(2)) - 1}{m.group(3)}"] = sd[key]
+    return sd
 
 
 def load_dust3r_checkpoint_partial(

@@ -24,7 +24,7 @@ import numpy as np
 
 from fast3r_tpu.inference import Fast3R, config_from_reference_args
 from fast3r_tpu.models.fast3r import Fast3RConfig
-from fast3r_tpu.utils.checkpoint import params_to_torch_state_dict
+from fast3r_tpu.utils.checkpoint import fast3r_params_to_state_dict
 
 
 def _is_hf_dir(path: str) -> bool:
@@ -71,17 +71,30 @@ def load_model(checkpoint_dir: str, dtype=None, attn_impl: str = "xla",
 def _inference_overrides(cfg: Fast3RConfig, attn_impl: str) -> Fast3RConfig:
     import dataclasses
 
-    enc = dataclasses.replace(cfg.encoder,
-                              patch_embed_cls="PatchEmbedDust3R",
-                              attn_impl=attn_impl)
+    if cfg.encoder_type == "dino":  # no patch_embed_cls knob on DinoEncoder
+        enc = dataclasses.replace(cfg.encoder, attn_impl=attn_impl)
+    else:
+        enc = dataclasses.replace(cfg.encoder,
+                                  patch_embed_cls="PatchEmbedDust3R",
+                                  attn_impl=attn_impl)
     return dataclasses.replace(cfg, encoder=enc, landscape_only=False)
 
 
 def config_to_reference_args(cfg: Fast3RConfig) -> dict:
-    """Fast3RConfig -> the reference's {encoder,decoder,head}_args dicts."""
-    assert cfg.decoder_type == "fast3r", "HF export supports the fast3r decoder"
-    return {
-        "encoder_args": {
+    """Fast3RConfig -> the reference's {encoder,decoder,head}_args dicts,
+    for every variant (croco|dino encoder x fast3r|llama decoder)."""
+    if cfg.encoder_type == "dino":
+        encoder_args = {
+            "encoder_type": "dino",
+            "patch_size": cfg.encoder.patch_size,
+            "embed_dim": cfg.encoder.embed_dim,
+            "num_heads": cfg.encoder.num_heads,
+            "depth": cfg.encoder.depth,
+            "mlp_ratio": cfg.encoder.mlp_ratio,
+            "pos_embed_size": cfg.encoder.pos_embed_size,
+        }
+    else:
+        encoder_args = {
             "encoder_type": "croco",
             "img_size": cfg.encoder.img_size,
             "patch_size": cfg.encoder.patch_size,
@@ -92,8 +105,30 @@ def config_to_reference_args(cfg: Fast3RConfig) -> dict:
             "mlp_ratio": cfg.encoder.mlp_ratio,
             "pos_embed": f"RoPE{cfg.encoder.rope_base:g}",
             "attn_implementation": "flash_attention",
-        },
-        "decoder_args": {
+        }
+    if cfg.decoder_type == "llama":
+        decoder_args = {
+            "decoder_type": "llama",
+            "random_image_idx_embedding":
+                cfg.decoder.random_image_idx_embedding,
+            "enc_embed_dim": cfg.decoder.enc_embed_dim,
+            "embed_dim": cfg.decoder.embed_dim,
+            "n_layers": cfg.decoder.n_layers,
+            "n_heads": cfg.decoder.n_heads,
+            "n_kv_heads": cfg.decoder.n_kv_heads,
+            "multiple_of": cfg.decoder.multiple_of,
+            "ffn_dim_multiplier": cfg.decoder.ffn_dim_multiplier,
+            "norm_eps": cfg.decoder.norm_eps,
+            "rope_theta": cfg.decoder.rope_theta,
+            "max_seq_len": cfg.decoder.max_seq_len,
+            "is_causal": False,
+            # the reference head factory indexes decoder_args["depth"]
+            # (fast3r.py:137-148) even for llama configs (its Hydra base
+            # merge leaves depth in) — mirror our hooks source
+            "depth": cfg.decoder.n_layers,
+        }
+    else:
+        decoder_args = {
             "decoder_type": "fast3r",
             "random_image_idx_embedding": cfg.decoder.random_image_idx_embedding,
             "enc_embed_dim": cfg.decoder.enc_embed_dim,
@@ -105,7 +140,10 @@ def config_to_reference_args(cfg: Fast3RConfig) -> dict:
             "attn_implementation": "flash_attention",
             "attn_bias_for_inference_enabled":
                 cfg.decoder.attn_bias_for_inference_enabled,
-        },
+        }
+    return {
+        "encoder_args": encoder_args,
+        "decoder_args": decoder_args,
         "head_args": {
             "head_type": "dpt",
             "output_mode": "pts3d",
@@ -127,10 +165,9 @@ def convert_checkpoint_to_hf(model: Fast3R, out_dir: str) -> str:
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         json.dump(config_to_reference_args(model.cfg), f, indent=2)
-    sd = params_to_torch_state_dict(
+    sd = fast3r_params_to_state_dict(
         jax.tree.map(lambda x: np.asarray(x, np.float32), model.params),
-        model.cfg.encoder.depth, model.cfg.decoder.depth,
-        model.cfg.with_local_head,
+        model.cfg,
     )
     save_file(sd, os.path.join(out_dir, "model.safetensors"))
     return out_dir

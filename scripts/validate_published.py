@@ -19,6 +19,13 @@ Configs (BASELINE.json:6-12):
   3. RE10K pose eval (scripts/re10k_pose_eval.py) — runs iff data roots given.
   4. RobustMVD depth eval (scripts/robustmvd_eval.py) — runs iff data given.
 
+Covers every checkpoint variant the config.json can declare (croco|dino
+encoder x fast3r|llama decoder); the torch side of config 1 is skipped-with-
+reason for variants the reference cannot construct offline (DinoEncoder pulls
+torch.hub at __init__).  The report also embeds per-stage tensor checksums
+(encoder feats / every decoder hook / head outputs) so a parity failure
+localizes to a stage immediately.
+
 Emits a JSON report {config: {status: pass|fail|skipped, ...metrics}} and
 exits non-zero if any executed config fails.
 """
@@ -126,7 +133,7 @@ def run_config1(model, views, tol_rtol, tol_atol, skip_torch):
 
         from tests.ref_loader import ref_module
         from fast3r_tpu.models.decoder import sample_random_image_ids
-        from fast3r_tpu.utils.checkpoint import params_to_torch_state_dict
+        from fast3r_tpu.utils.checkpoint import fast3r_params_to_state_dict
         from fast3r_tpu.utils.checkpoint_utils import config_to_reference_args
         import jax
         import numpy as np
@@ -135,19 +142,26 @@ def run_config1(model, views, tol_rtol, tol_atol, skip_torch):
         for k in ("encoder_args", "decoder_args"):
             args[k]["attn_implementation"] = "pytorch_naive"
         m = ref_module("fast3r.models.fast3r")
-        ref = m.Fast3R(**args)
-        sd = params_to_torch_state_dict(
+        ref = m.Fast3R(**args)  # dino encoder needs torch.hub -> skip branch
+        sd = fast3r_params_to_state_dict(
             jax.tree.map(lambda x: np.asarray(x, np.float32), model.params),
-            model.cfg.encoder.depth, model.cfg.decoder.depth,
-            model.cfg.with_local_head,
+            model.cfg,
         )
         ref.load_state_dict({k: torch.from_numpy(v) for k, v in sd.items()},
                             strict=True)
         ref.eval()
         ref_views = _views_to_torch(views[:2])
-        # our inference samples ids from key(0) (models/fast3r.py:213-216)
-        ids = sample_random_image_ids(jax.random.key(0), 1, 2)[0]
-        with torch.no_grad(), _aligned_torch_randperm(ids):
+        # our inference samples ids from key(0) (models/fast3r.py:213-216);
+        # the llama decoder under random_image_idx_embedding=False uses the
+        # deterministic arange ids on both sides (no alignment needed)
+        use_random_ids = (model.cfg.decoder_type == "fast3r"
+                          and model.cfg.decoder.random_image_idx_embedding)
+        if use_random_ids:
+            ids = sample_random_image_ids(jax.random.key(0), 1, 2)[0]
+            align = _aligned_torch_randperm(ids)
+        else:
+            align = contextlib.nullcontext()
+        with torch.no_grad(), align:
             ref_out = ref(ref_views)
         max_rel = 0.0
         for v in range(2):
@@ -163,6 +177,77 @@ def run_config1(model, views, tol_rtol, tol_atol, skip_torch):
     except Exception as e:  # reference import/load failure is a report, not a crash
         report["torch_parity"] = f"skipped ({type(e).__name__}: {e})"
     return report
+
+
+def stage_checksums(model, views):
+    """Per-stage tensor checksums (encoder feats, every decoder hook, head
+    outputs) so a future parity failure localizes to a stage immediately
+    (VERDICT r2 item 8).  Deterministic given a checkpoint + images: the
+    forward uses the same fixed key(0) image ids as inference."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fast3r_tpu.models.decoder import (
+        decoder_forward,
+        sample_random_image_ids,
+    )
+    from fast3r_tpu.models.encoder import encoder_forward
+    from fast3r_tpu.models.fast3r import _run_head_oriented
+
+    def cksum(x):
+        x = np.asarray(x, np.float64)
+        return {"mean": float(x.mean()), "std": float(x.std()),
+                "absmax": float(np.abs(x).max()), "shape": list(x.shape)}
+
+    cfg = model.cfg
+    imgs = jnp.stack([jnp.asarray(v["img"][0]) for v in views[:2]])[None]
+    B, V, H, W, _ = imgs.shape
+    flat = imgs.reshape(B * V, H, W, 3).astype(model.dtype)
+    shapes = jnp.broadcast_to(jnp.array([H, W], jnp.int32)[None], (B * V, 2))
+
+    out = {}
+    if cfg.encoder_type == "dino":
+        from fast3r_tpu.models.dino_encoder import dino_encoder_forward
+
+        feats, _ = dino_encoder_forward(model.params["encoder"], cfg.encoder,
+                                        flat, shapes)
+    else:
+        feats, _ = encoder_forward(model.params["encoder"], cfg.encoder,
+                                   flat, shapes)
+    out["encoder_feats"] = cksum(feats)
+
+    P = feats.shape[1]
+    fused = feats.reshape(B, V * P, -1)
+    if cfg.decoder_type == "fast3r" and cfg.decoder.random_image_idx_embedding:
+        view_ids = sample_random_image_ids(jax.random.key(0), B, V)
+    else:
+        view_ids = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32)[None],
+                                    (B, V))
+    image_ids = jnp.repeat(view_ids, P, axis=1)
+    if cfg.decoder_type == "llama":
+        from fast3r_tpu.models.llama_decoder import llama_decoder_forward
+
+        dec_out = llama_decoder_forward(model.params["decoder"], cfg.decoder,
+                                        fused, image_ids, num_views=V)
+    else:
+        dec_out = decoder_forward(model.params["decoder"], cfg.decoder,
+                                  fused, image_ids)
+    for h in cfg.decoder.hooks:
+        out[f"decoder_hook_{h}"] = cksum(dec_out[h])
+
+    # regroup fused (B, V*P, C) hook tokens per view: (B*V, P, C)
+    tokens = [dec_out[h].reshape(B, V, P, -1).reshape(B * V, P, -1)
+              for h in cfg.decoder.hooks]
+    g = _run_head_oriented(model.params["head_global"], cfg.head, tokens, H, W)
+    out["head_global_pts3d"] = cksum(g["pts3d"])
+    if "conf" in g:
+        out["head_global_conf"] = cksum(g["conf"])
+    if cfg.with_local_head:
+        l = _run_head_oriented(model.params["head_local"], cfg.head, tokens,
+                               H, W)
+        out["head_local_pts3d"] = cksum(l["pts3d"])
+    return out
 
 
 def run_config2(model, views, agreement_min: float = 0.8):
@@ -243,6 +328,7 @@ def main(argv=None):
         report["config1_two_view"] = run_config1(
             model, views, args.rtol, args.atol, args.skip_torch)
         print("      ", report["config1_two_view"])
+        report["stage_checksums"] = stage_checksums(model, views)
 
         print("[2/4] 8-view + estimate_camera_poses backend agreement")
         report["config2_eight_view_pnp"] = run_config2(

@@ -46,6 +46,52 @@ def test_hf_export_and_reload_roundtrip(tmp_path):
     )
 
 
+def test_hf_roundtrip_llama_and_dino_variants(tmp_path):
+    """Variant-aware checkpoint conversion (utils/checkpoint._variant_key_map):
+    llama-decoder and dino-encoder models export to the HF layout and reload
+    bit-identically, then run a forward (VERDICT r2 item 8)."""
+    from fast3r_tpu.models.decoder import DecoderConfig
+    from fast3r_tpu.models.dino_encoder import DinoEncoderConfig
+    from fast3r_tpu.models.dpt_head import DPTHeadConfig
+    from fast3r_tpu.models.encoder import EncoderConfig
+    from fast3r_tpu.models.fast3r import fast3r_forward
+    from fast3r_tpu.models.llama_decoder import LlamaDecoderConfig
+
+    head14 = DPTHeadConfig(patch_size=14, dim_tokens=(64, 64, 64, 64),
+                           feature_dim=32, last_dim=16,
+                           layer_dims=(8, 16, 24, 32))
+    variants = {
+        "llama": Fast3RConfig(
+            encoder=EncoderConfig(img_size=56, patch_size=14, embed_dim=64,
+                                  num_heads=2, depth=2),
+            decoder=LlamaDecoderConfig(enc_embed_dim=64, embed_dim=64,
+                                       n_layers=4, n_heads=2,
+                                       random_image_idx_embedding=False,
+                                       attn_impl="naive"),
+            head=head14),
+        "dino": Fast3RConfig(
+            encoder=DinoEncoderConfig(patch_size=14, embed_dim=64, depth=2,
+                                      num_heads=2, pos_embed_size=4,
+                                      attn_impl="naive"),
+            decoder=DecoderConfig(enc_embed_dim=64, embed_dim=64, num_heads=2,
+                                  depth=4),
+            head=head14),
+    }
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(rng.standard_normal((1, 2, 56, 56, 3)), jnp.float32)
+    for tag, cfg in variants.items():
+        model = Fast3R(cfg, init_fast3r(jax.random.key(1), cfg))
+        out = convert_checkpoint_to_hf(model, str(tmp_path / tag))
+        model2 = Fast3R.from_pretrained(out)
+        a, b = jax.tree.leaves(model.params), jax.tree.leaves(model2.params)
+        assert len(a) == len(b), tag
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                          err_msg=tag)
+        o = fast3r_forward(model2.params, model2.cfg, imgs)
+        assert np.isfinite(np.asarray(o["pts3d_in_other_view"])).all(), tag
+
+
 def test_load_model_from_run_dir(tmp_path):
     from fast3r_tpu.data.loader import get_data_loader
     from fast3r_tpu.train.losses import LossConfig

@@ -138,4 +138,91 @@ def test_validate_published_end_to_end(tmp_path):
     assert c2["status"] == "pass", c2
     assert np.isfinite(c2["jax_vs_cv2_RRA_at_15"])
     assert report["config3_re10k"]["status"].startswith("skipped")
-    assert report["config4_robustmvd"]["status"].startswith("skipped")
+    # per-stage checksums localize any future parity failure (VERDICT r2 #8)
+    cs = report["stage_checksums"]
+    assert "encoder_feats" in cs and "head_global_pts3d" in cs
+    assert any(k.startswith("decoder_hook_") for k in cs)
+    assert all(np.isfinite(v["mean"]) for v in cs.values())
+
+
+def test_validate_published_llama_variant(tmp_path):
+    """The llama-decoder checkpoint variant flows through the runner end to
+    end, including the torch cross-implementation parity (VERDICT r2 #8)."""
+    import validate_published
+
+    from fast3r_tpu.inference import Fast3R
+    from fast3r_tpu.models.encoder import EncoderConfig
+    from fast3r_tpu.models.llama_decoder import LlamaDecoderConfig
+    from fast3r_tpu.models.dpt_head import DPTHeadConfig
+    from fast3r_tpu.models.fast3r import Fast3RConfig
+    from fast3r_tpu.utils.checkpoint_utils import convert_checkpoint_to_hf
+
+    cfg = Fast3RConfig(
+        encoder=EncoderConfig(img_size=64, embed_dim=64, num_heads=2, depth=2),
+        decoder=LlamaDecoderConfig(enc_embed_dim=64, embed_dim=64,
+                                   n_layers=12, n_heads=2,
+                                   random_image_idx_embedding=False),
+        head=DPTHeadConfig(dim_tokens=(64, 64, 64, 64)),
+        with_local_head=True,
+    )
+    ckpt = str(tmp_path / "llama_hf")
+    convert_checkpoint_to_hf(Fast3R.from_random(cfg), ckpt)
+
+    out = str(tmp_path / "report.json")
+    rc = validate_published.main([
+        ckpt, "--size", "96", "--out", out, "--pose-agreement-min", "-1",
+    ])
+    report = json.load(open(out))
+    assert rc == 0, report
+    c1 = report["config1_two_view"]
+    assert c1["status"] == "pass", c1
+    assert c1.get("torch_parity_max_rel", 1.0) < 5e-3, c1
+    assert any(k.startswith("decoder_hook_")
+               for k in report["stage_checksums"])
+
+
+def test_validate_published_dino_variant(tmp_path):
+    """The DINOv2-encoder checkpoint variant loads and validates; the torch
+    side is reported skipped (reference DinoEncoder needs torch.hub, which
+    is unreachable offline) rather than failing (VERDICT r2 #8)."""
+    import validate_published
+
+    from fast3r_tpu.inference import Fast3R
+    from fast3r_tpu.models.decoder import DecoderConfig
+    from fast3r_tpu.models.dino_encoder import DinoEncoderConfig
+    from fast3r_tpu.models.dpt_head import DPTHeadConfig
+    from fast3r_tpu.models.fast3r import Fast3RConfig
+    from fast3r_tpu.utils.checkpoint_utils import convert_checkpoint_to_hf
+
+    cfg = Fast3RConfig(
+        encoder=DinoEncoderConfig(patch_size=14, embed_dim=64, depth=2,
+                                  num_heads=2, pos_embed_size=4),
+        decoder=DecoderConfig(enc_embed_dim=64, embed_dim=64, num_heads=2,
+                              depth=12),
+        head=DPTHeadConfig(patch_size=14, dim_tokens=(64, 64, 64, 64)),
+        with_local_head=True,
+    )
+    ckpt = str(tmp_path / "dino_hf")
+    convert_checkpoint_to_hf(Fast3R.from_random(cfg), ckpt)
+
+    # load_images crops to multiples of 16 (the reference rule) which a
+    # 14-patch encoder cannot consume — drive configs 1-2 with synthetic
+    # 14-multiple views directly
+    from fast3r_tpu.utils.checkpoint_utils import load_model
+
+    model = load_model(ckpt)
+    rng = np.random.default_rng(3)
+    views = [{"img": rng.standard_normal((1, 112, 112, 3)).astype(np.float32),
+              "true_shape": np.array([[112, 112]], np.int64)}
+             for _ in range(8)]
+    c1 = validate_published.run_config1(model, views, 5e-3, 1e-2,
+                                        skip_torch=False)
+    assert c1["status"] == "pass", c1
+    # torch side must be a *reported skip*, not a silent pass (reference
+    # DinoEncoder pulls torch.hub at __init__ — unreachable offline)
+    assert "torch_parity" in c1 and "skipped" in str(c1["torch_parity"]), c1
+    c2 = validate_published.run_config2(model, views, agreement_min=-1)
+    assert c2["status"] == "pass", c2
+    cs = validate_published.stage_checksums(model, views)
+    assert "encoder_feats" in cs
+    assert all(np.isfinite(v["mean"]) for v in cs.values())
