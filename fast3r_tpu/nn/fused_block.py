@@ -65,6 +65,18 @@ def _gelu_exact(x):
     return x * 0.5 * (1.0 + _erf(x * 0.7071067811865476))
 
 
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _gelu_grad(z):
+    """d/dz [z * Phi(z)] = Phi(z) + z * phi(z), fp32 in-kernel (matches
+    jax.nn.gelu(approximate=False) gradients to the _erf approximation's
+    1.5e-7)."""
+    cdf = 0.5 * (1.0 + _erf(z * 0.7071067811865476))
+    pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * z * z)
+    return cdf + z * pdf
+
+
 def _ln_f32(x, gamma, beta, eps):
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -91,6 +103,23 @@ def _pick_bm(m: int, k: int, n: int, w_bytes: int, itemsize: int) -> int:
         if m % bm == 0:
             need = (w_bytes + 2 * bm * k * itemsize + 2 * bm * n * itemsize
                     + 3 * bm * k * 4)
+            if need <= VMEM_BUDGET:
+                best = bm
+        bm += 8
+    return best
+
+
+def _pick_bm_bwd(m: int, k: int, n: int, w_bytes: int, itemsize: int) -> int:
+    """Row tile for the fused LN-matmul BACKWARD kernel: W resident + five
+    double-buffered token streams (x, g in; dx, dz, u out) + the fp32 live
+    set (xhat/du/dxhat at width K, z/dz at width N)."""
+    best = 0
+    bm = 8
+    while bm <= 512:
+        if m % bm == 0:
+            need = (w_bytes
+                    + 2 * itemsize * bm * (3 * k + 2 * n)   # streamed tiles
+                    + 4 * bm * (3 * k + 2 * n))             # fp32 live set
             if need <= VMEM_BUDGET:
                 best = bm
         bm += 8
@@ -155,18 +184,131 @@ def _matmul_res_kernel(x_ref, w_ref, bias_ref, r_ref, o_ref):
     o_ref[:] = (r_ref[:].astype(jnp.float32) + out).astype(o_ref.dtype)
 
 
+def _ln_matmul_bwd_kernel(x_ref, g_ref, gamma_ref, beta_ref, w_ref, bias_ref,
+                          dx_ref, dz_ref, u_ref, dgamma_ref, dbeta_ref,
+                          dgamma_scr, dbeta_scr,
+                          *, eps: float, act: Optional[str], steps: int):
+    """Fused backward for y = act(LN(x) @ W + b) — everything except the
+    weight-gradient matmul, which needs cross-tile contraction and runs as
+    one XLA matmul over the (u, dz) tiles this kernel streams out:
+
+      recompute LN stats + xhat from x (VPU; cheaper than an HBM round-trip
+        for saved stats at these shapes), u = xhat*gamma + beta;
+      recompute z = u @ W + b ONLY when act is set (MXU recompute beats
+        saving z: at (3840, 1024, 4096) the matmul is ~0.17 ms vs ~0.75 ms
+        of HBM for a saved bf16 z — the v5e trades FLOPs for bandwidth);
+      dz = g * act'(z); du = dz @ W^T via contraction dims on the SAME
+        resident W (no transposed copy); LN backward to dx (VPU);
+      dgamma/dbeta accumulate across the sequential grid in VMEM scratch.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dgamma_scr[:] = jnp.zeros_like(dgamma_scr)
+        dbeta_scr[:] = jnp.zeros_like(dbeta_scr)
+
+    xf = x_ref[:].astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+    gamma = gamma_ref[:].astype(jnp.float32)
+    u = xhat * gamma + beta_ref[:].astype(jnp.float32)
+    u_cast = u.astype(u_ref.dtype)
+    u_ref[:] = u_cast
+
+    g = g_ref[:].astype(jnp.float32)
+    if act == "gelu":
+        z = jax.lax.dot_general(
+            u_cast, w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bias_ref[:].astype(jnp.float32)
+        dz = g * _gelu_grad(z)
+    else:
+        dz = g
+    dz_cast = dz.astype(dz_ref.dtype)
+    dz_ref[:] = dz_cast
+
+    # du = dz @ W^T without a transposed weight copy: contract both N axes
+    du = jax.lax.dot_general(
+        dz_cast, w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dgamma_scr[:] += jnp.sum(du * xhat, axis=0, keepdims=True)
+    dbeta_scr[:] += jnp.sum(du, axis=0, keepdims=True)
+    dxhat = du * gamma
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx_ref[:] = (rstd * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
+
+    @pl.when(i == steps - 1)
+    def _finish():
+        dgamma_ref[:] = dgamma_scr[:]
+        dbeta_ref[:] = dbeta_scr[:]
+
+
+def _ln_matmul_bwd(x, gamma, beta, w, bias, g, eps: float,
+                   act: Optional[str]):
+    """Run the fused backward kernel + the XLA weight-grad matmul.  Returns
+    (dx, dgamma, dbeta, dw, dbias) in the primal dtypes."""
+    m, k = x.shape
+    n = w.shape[1]
+    bm = _pick_bm_bwd(m, k, n, w.size * w.dtype.itemsize, x.dtype.itemsize)
+    assert bm, ("untileable fused backward — gate with "
+                f"fused_block_supported: {(m, k, n)}")
+    dx, dz, u, dgamma, dbeta = pl.pallas_call(
+        functools.partial(_ln_matmul_bwd_kernel, eps=eps, act=act,
+                          steps=m // bm),
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0)),
+            pl.BlockSpec((bm, n), lambda i: (i, 0)),
+            pl.BlockSpec((k,), lambda i: (0,)),
+            pl.BlockSpec((k,), lambda i: (0,)),
+            pl.BlockSpec((k, n), lambda i: (0, 0)),
+            pl.BlockSpec((n,), lambda i: (0,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0)),
+            pl.BlockSpec((bm, n), lambda i: (i, 0)),
+            pl.BlockSpec((bm, k), lambda i: (i, 0)),
+            pl.BlockSpec((1, k), lambda i: (0, 0)),
+            pl.BlockSpec((1, k), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, k), x.dtype),
+            jax.ShapeDtypeStruct((m, n), x.dtype),
+            jax.ShapeDtypeStruct((m, k), x.dtype),
+            jax.ShapeDtypeStruct((1, k), jnp.float32),
+            jax.ShapeDtypeStruct((1, k), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, k), jnp.float32),
+            pltpu.VMEM((1, k), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(x, g, gamma, beta, w, bias)
+    dw = jax.lax.dot_general(
+        u, dz, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(w.dtype)
+    dbias = jnp.sum(dz.astype(jnp.float32), axis=0).astype(bias.dtype)
+    return (dx, dgamma.reshape(-1).astype(gamma.dtype),
+            dbeta.reshape(-1).astype(beta.dtype), dw, dbias)
+
+
 # ---------------------------------------------------------------------------
 # pallas_call wrappers ((M, K) x (K, N), weights resident)
 # ---------------------------------------------------------------------------
 
-def ln_matmul(x, gamma, beta, w, bias, eps: float, act: Optional[str] = None):
-    """act(LN(x) @ w + bias); x (M, K), w (K, N).  Returns (M, N) in x.dtype.
-    Returns None if the shapes don't tile (caller falls back)."""
+def _ln_matmul_call(x, gamma, beta, w, bias, eps: float,
+                    act: Optional[str], bm: int):
     m, k = x.shape
     n = w.shape[1]
-    bm = _pick_bm(m, k, n, w.size * w.dtype.itemsize, x.dtype.itemsize)
-    if bm == 0 or k % 128 or n % 128:
-        return None
     return pl.pallas_call(
         functools.partial(_ln_matmul_kernel, eps=eps, act=act),
         grid=(m // bm,),
@@ -183,15 +325,51 @@ def ln_matmul(x, gamma, beta, w, bias, eps: float, act: Optional[str] = None):
     )(x, gamma, beta, w, bias)
 
 
-def ln_qkv(x, gamma, beta, w, bias, eps: float):
-    """LN(x) @ Wqkv split into q, k, v (each (M, C)) without materializing the
-    (M, 3C) intermediate.  Returns None if the shapes don't tile."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _ln_matmul_p(x, gamma, beta, w, bias, eps, act):
+    m, k = x.shape
+    bm = _pick_bm(m, k, w.shape[1], w.size * w.dtype.itemsize,
+                  x.dtype.itemsize)
+    return _ln_matmul_call(x, gamma, beta, w, bias, eps, act, bm)
+
+
+def _ln_matmul_p_fwd(x, gamma, beta, w, bias, eps, act):
+    return _ln_matmul_p(x, gamma, beta, w, bias, eps, act), (x, gamma, beta,
+                                                             w, bias)
+
+
+def _ln_matmul_p_bwd(eps, act, res, g):
+    x, gamma, beta, w, bias = res
+    return _ln_matmul_bwd(x, gamma, beta, w, bias, g, eps, act)
+
+
+_ln_matmul_p.defvjp(_ln_matmul_p_fwd, _ln_matmul_p_bwd)
+
+
+def _ln_tileable(x, w, need_bwd: bool = True) -> bool:
+    m, k = x.shape
+    n = w.shape[1]
+    wb = w.size * w.dtype.itemsize
+    if _pick_bm(m, k, n, wb, x.dtype.itemsize) == 0:
+        return False
+    return not need_bwd or _pick_bm_bwd(m, k, n, wb, x.dtype.itemsize) > 0
+
+
+def ln_matmul(x, gamma, beta, w, bias, eps: float, act: Optional[str] = None):
+    """act(LN(x) @ w + bias); x (M, K), w (K, N).  Returns (M, N) in x.dtype.
+    Differentiable (fused backward kernel, _ln_matmul_bwd).  Returns None if
+    the shapes don't tile (caller falls back)."""
+    k = x.shape[1]
+    n = w.shape[1]
+    if k % 128 or n % 128 or not _ln_tileable(x, w):
+        return None
+    return _ln_matmul_p(x, gamma, beta, w, bias, eps, act)
+
+
+def _ln_qkv_call(x, gamma, beta, w, bias, eps: float, bm: int):
     m, k = x.shape
     n = w.shape[1]
     c = n // 3
-    bm = _pick_bm(m, k, n, w.size * w.dtype.itemsize, x.dtype.itemsize)
-    if bm == 0 or k % 128 or c % 128:
-        return None
     return pl.pallas_call(
         functools.partial(_ln_qkv_kernel, eps=eps, c=c),
         grid=(m // bm,),
@@ -212,13 +390,131 @@ def ln_qkv(x, gamma, beta, w, bias, eps: float):
     )(x, gamma, beta, w, bias)
 
 
-def rms_matmul(x, gamma, w, eps: float, act: Optional[str] = None):
-    """act(RMSNorm(x) @ w); x (M, K), w (K, N), no bias (llama linears)."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _ln_qkv_p(x, gamma, beta, w, bias, eps):
+    m, k = x.shape
+    bm = _pick_bm(m, k, w.shape[1], w.size * w.dtype.itemsize,
+                  x.dtype.itemsize)
+    return _ln_qkv_call(x, gamma, beta, w, bias, eps, bm)
+
+
+def _ln_qkv_p_fwd(x, gamma, beta, w, bias, eps):
+    return _ln_qkv_p(x, gamma, beta, w, bias, eps), (x, gamma, beta, w, bias)
+
+
+def _ln_qkv_p_bwd(eps, res, g):
+    x, gamma, beta, w, bias = res
+    # the three head grads re-concatenate into the (M, 3C) projection grad —
+    # one HBM materialization; the LN/dW machinery is then identical to
+    # ln_matmul with act=None
+    gcat = jnp.concatenate(g, axis=1)
+    return _ln_matmul_bwd(x, gamma, beta, w, bias, gcat, eps, None)
+
+
+_ln_qkv_p.defvjp(_ln_qkv_p_fwd, _ln_qkv_p_bwd)
+
+
+def ln_qkv(x, gamma, beta, w, bias, eps: float):
+    """LN(x) @ Wqkv split into q, k, v (each (M, C)) without materializing the
+    (M, 3C) intermediate.  Differentiable (fused backward kernel).  Returns
+    None if the shapes don't tile."""
+    k = x.shape[1]
+    n = w.shape[1]
+    if k % 128 or (n // 3) % 128 or not _ln_tileable(x, w):
+        return None
+    return _ln_qkv_p(x, gamma, beta, w, bias, eps)
+
+
+def _rms_matmul_bwd_kernel(x_ref, g_ref, gamma_ref, w_ref,
+                           dx_ref, dz_ref, u_ref, dgamma_ref, dgamma_scr,
+                           *, eps: float, act: Optional[str], steps: int):
+    """RMSNorm analogue of _ln_matmul_bwd_kernel (llama blocks: bias-free
+    linears, silu activation, cast-before-gamma RMS forward)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dgamma_scr[:] = jnp.zeros_like(dgamma_scr)
+
+    xf = x_ref[:].astype(jnp.float32)
+    rstd = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    # forward casts xhat to x.dtype BEFORE the gamma multiply (_rms_f32);
+    # reproduce the rounding so u matches the forward bit-for-bit
+    xhat = (xf * rstd).astype(x_ref.dtype).astype(jnp.float32)
+    gamma = gamma_ref[:].astype(jnp.float32)
+    u = xhat * gamma
+    u_cast = u.astype(u_ref.dtype)
+    u_ref[:] = u_cast
+
+    g = g_ref[:].astype(jnp.float32)
+    if act == "silu":
+        z = jax.lax.dot_general(
+            u_cast, w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        sig = jax.nn.sigmoid(z)
+        dz = g * sig * (1.0 + z * (1.0 - sig))
+    else:
+        dz = g
+    dz_cast = dz.astype(dz_ref.dtype)
+    dz_ref[:] = dz_cast
+
+    du = jax.lax.dot_general(
+        dz_cast, w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dgamma_scr[:] += jnp.sum(du * xhat, axis=0, keepdims=True)
+    dxhat = du * gamma
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx_ref[:] = (rstd * (dxhat - xhat * m2)).astype(dx_ref.dtype)
+
+    @pl.when(i == steps - 1)
+    def _finish():
+        dgamma_ref[:] = dgamma_scr[:]
+
+
+def _rms_matmul_bwd(x, gamma, w, g, eps: float, act: Optional[str]):
+    """(dx, dgamma, dw) via the fused RMS backward kernel + one XLA dW
+    matmul."""
     m, k = x.shape
     n = w.shape[1]
-    bm = _pick_bm(m, k, n, w.size * w.dtype.itemsize, x.dtype.itemsize)
-    if bm == 0 or k % 128 or n % 128:
-        return None
+    bm = _pick_bm_bwd(m, k, n, w.size * w.dtype.itemsize, x.dtype.itemsize)
+    assert bm, f"untileable fused RMS backward: {(m, k, n)}"
+    dx, dz, u, dgamma = pl.pallas_call(
+        functools.partial(_rms_matmul_bwd_kernel, eps=eps, act=act,
+                          steps=m // bm),
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0)),
+            pl.BlockSpec((bm, n), lambda i: (i, 0)),
+            pl.BlockSpec((k,), lambda i: (0,)),
+            pl.BlockSpec((k, n), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0)),
+            pl.BlockSpec((bm, n), lambda i: (i, 0)),
+            pl.BlockSpec((bm, k), lambda i: (i, 0)),
+            pl.BlockSpec((1, k), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, k), x.dtype),
+            jax.ShapeDtypeStruct((m, n), x.dtype),
+            jax.ShapeDtypeStruct((m, k), x.dtype),
+            jax.ShapeDtypeStruct((1, k), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, k), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(x, g, gamma, w)
+    dw = jax.lax.dot_general(
+        u, dz, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(w.dtype)
+    return dx, dgamma.reshape(-1).astype(gamma.dtype), dw
+
+
+def _rms_matmul_call(x, gamma, w, eps: float, act: Optional[str], bm: int):
+    m, k = x.shape
+    n = w.shape[1]
     return pl.pallas_call(
         functools.partial(_rms_matmul_kernel, eps=eps, act=act),
         grid=(m // bm,),
@@ -233,15 +529,39 @@ def rms_matmul(x, gamma, w, eps: float, act: Optional[str] = None):
     )(x, gamma, w)
 
 
-def rms_qkv3(x, gamma, wq, wk, wv, eps: float):
-    """RMSNorm(x) projected through three separate (bias-free) weights —
-    llama GQA attention, where wk/wv may be narrower than wq."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _rms_matmul_p(x, gamma, w, eps, act):
+    m, k = x.shape
+    bm = _pick_bm(m, k, w.shape[1], w.size * w.dtype.itemsize,
+                  x.dtype.itemsize)
+    return _rms_matmul_call(x, gamma, w, eps, act, bm)
+
+
+def _rms_matmul_p_fwd(x, gamma, w, eps, act):
+    return _rms_matmul_p(x, gamma, w, eps, act), (x, gamma, w)
+
+
+def _rms_matmul_p_bwd(eps, act, res, g):
+    return _rms_matmul_bwd(*res, g, eps, act)
+
+
+_rms_matmul_p.defvjp(_rms_matmul_p_fwd, _rms_matmul_p_bwd)
+
+
+def rms_matmul(x, gamma, w, eps: float, act: Optional[str] = None):
+    """act(RMSNorm(x) @ w); x (M, K), w (K, N), no bias (llama linears).
+    Differentiable (fused RMS backward kernel).  Returns None if the shapes
+    don't tile."""
+    k = x.shape[1]
+    n = w.shape[1]
+    if k % 128 or n % 128 or not _ln_tileable(x, w):
+        return None
+    return _rms_matmul_p(x, gamma, w, eps, act)
+
+
+def _rms_qkv3_call(x, gamma, wq, wk, wv, eps: float, bm: int):
     m, k = x.shape
     nq, nk, nv = wq.shape[1], wk.shape[1], wv.shape[1]
-    w_bytes = (wq.size + wk.size + wv.size) * wq.dtype.itemsize
-    bm = _pick_bm(m, k, nq + nk + nv, w_bytes, x.dtype.itemsize)
-    if bm == 0 or k % 128 or nq % 128 or nk % 128 or nv % 128:
-        return None
     return pl.pallas_call(
         functools.partial(_rms_qkv3_kernel, eps=eps),
         grid=(m // bm,),
@@ -266,13 +586,51 @@ def rms_qkv3(x, gamma, wq, wk, wv, eps: float):
     )(x, gamma, wq, wk, wv)
 
 
-def matmul_residual(x, w, bias, residual):
-    """residual + x @ w + bias; x (M, K), w (K, N), residual (M, N)."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _rms_qkv3_p(x, gamma, wq, wk, wv, eps):
+    m, k = x.shape
+    w_bytes = (wq.size + wk.size + wv.size) * wq.dtype.itemsize
+    bm = _pick_bm(m, k, wq.shape[1] + wk.shape[1] + wv.shape[1], w_bytes,
+                  x.dtype.itemsize)
+    return _rms_qkv3_call(x, gamma, wq, wk, wv, eps, bm)
+
+
+def _rms_qkv3_p_fwd(x, gamma, wq, wk, wv, eps):
+    return _rms_qkv3_p(x, gamma, wq, wk, wv, eps), (x, gamma, wq, wk, wv)
+
+
+def _rms_qkv3_p_bwd(eps, res, g):
+    # fold the three projections into one wide backward: concat the weights
+    # (a few MB, one HBM pass) and the grads, reuse the RMS kernel, split dW
+    x, gamma, wq, wk, wv = res
+    wcat = jnp.concatenate([wq, wk, wv], axis=1)
+    gcat = jnp.concatenate(g, axis=1)
+    dx, dgamma, dw = _rms_matmul_bwd(x, gamma, wcat, gcat, eps, None)
+    nq, nk = wq.shape[1], wk.shape[1]
+    return (dx, dgamma, dw[:, :nq], dw[:, nq:nq + nk], dw[:, nq + nk:])
+
+
+_rms_qkv3_p.defvjp(_rms_qkv3_p_fwd, _rms_qkv3_p_bwd)
+
+
+def rms_qkv3(x, gamma, wq, wk, wv, eps: float):
+    """RMSNorm(x) projected through three separate (bias-free) weights —
+    llama GQA attention, where wk/wv may be narrower than wq.
+    Differentiable.  Returns None if the shapes don't tile."""
+    m, k = x.shape
+    nq, nk, nv = wq.shape[1], wk.shape[1], wv.shape[1]
+    w_bytes = (wq.size + wk.size + wv.size) * wq.dtype.itemsize
+    it = x.dtype.itemsize
+    if (k % 128 or nq % 128 or nk % 128 or nv % 128
+            or _pick_bm(m, k, nq + nk + nv, w_bytes, it) == 0
+            or _pick_bm_bwd(m, k, nq + nk + nv, w_bytes, it) == 0):
+        return None
+    return _rms_qkv3_p(x, gamma, wq, wk, wv, eps)
+
+
+def _matmul_res_call(x, w, bias, residual, bm: int):
     m, k = x.shape
     n = w.shape[1]
-    bm = _pick_bm(m, k, n, w.size * w.dtype.itemsize, x.dtype.itemsize)
-    if bm == 0 or k % 128 or n % 128:
-        return None
     return pl.pallas_call(
         _matmul_res_kernel,
         grid=(m // bm,),
@@ -286,6 +644,47 @@ def matmul_residual(x, w, bias, residual):
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         interpret=_interpret(),
     )(x, w, bias, residual)
+
+
+@jax.custom_vjp
+def _matmul_res_p(x, w, bias, residual):
+    m, k = x.shape
+    bm = _pick_bm(m, k, w.shape[1], w.size * w.dtype.itemsize,
+                  x.dtype.itemsize)
+    return _matmul_res_call(x, w, bias, residual, bm)
+
+
+def _matmul_res_p_fwd(x, w, bias, residual):
+    return _matmul_res_p(x, w, bias, residual), (x, w, bias)
+
+
+def _matmul_res_p_bwd(res, g):
+    # y = r + x @ W + b is matmul-only in backward (no elementwise to fuse):
+    # plain XLA dots, with the dW/dx contractions on the untransposed W/x
+    x, w, bias = res
+    bias_dtype = bias.dtype
+    dx = jax.lax.dot_general(
+        g, w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    dw = jax.lax.dot_general(
+        x, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(w.dtype)
+    db = jnp.sum(g.astype(jnp.float32), axis=0).astype(bias_dtype)
+    return dx, dw, db, g
+
+
+_matmul_res_p.defvjp(_matmul_res_p_fwd, _matmul_res_p_bwd)
+
+
+def matmul_residual(x, w, bias, residual):
+    """residual + x @ w + bias; x (M, K), w (K, N), residual (M, N).
+    Differentiable.  Returns None if the shapes don't tile."""
+    m, k = x.shape
+    n = w.shape[1]
+    bm = _pick_bm(m, k, n, w.size * w.dtype.itemsize, x.dtype.itemsize)
+    if bm == 0 or k % 128 or n % 128:
+        return None
+    return _matmul_res_p(x, w, bias, residual)
 
 
 # ---------------------------------------------------------------------------
@@ -360,10 +759,17 @@ def _fused_block_fwd(p, x, rope_cos_sin, num_heads, scale, attn_impl, ln_eps):
 
 
 def _fused_block_bwd(num_heads, scale, attn_impl, ln_eps, res, g):
+    """Backward = recompute the FUSED forward (remat semantics: residuals
+    are just (p, x)) and differentiate through the fused primitives, whose
+    custom VJPs run the fused backward kernels (_ln_matmul_bwd) — so
+    training inherits the VMEM-residency wins instead of recomputing through
+    the plain composition (r2's placeholder, VERDICT r2 item 3).  Gradient
+    numerics match the plain path at bf16 rounding
+    (tests/test_fused_block.py)."""
     p, x, rope_cos_sin = res
     _, vjp = jax.vjp(
-        lambda p_, x_: _plain_block(p_, x_, rope_cos_sin, num_heads, scale,
-                                    attn_impl, ln_eps), p, x)
+        lambda p_, x_: _fused_block_impl(p_, x_, rope_cos_sin, num_heads,
+                                         scale, attn_impl, ln_eps), p, x)
     dp, dx = vjp(g)
     drope = (None if rope_cos_sin is None
              else jax.tree.map(jnp.zeros_like, rope_cos_sin))
@@ -391,6 +797,9 @@ def fused_block_supported(x_shape, dim: int, mlp_hidden: int,
         and _pick_bm(m, c, c, c * c * it, it) > 0
         and _pick_bm(m, c, mlp_hidden, c * mlp_hidden * it, it) > 0
         and _pick_bm(m, mlp_hidden, c, c * mlp_hidden * it, it) > 0
+        # the fused BACKWARD kernels must tile too (ln_qkv + ln_matmul bwd)
+        and _pick_bm_bwd(m, c, 3 * c, 3 * c * c * it, it) > 0
+        and _pick_bm_bwd(m, c, mlp_hidden, c * mlp_hidden * it, it) > 0
     )
 
 
@@ -460,11 +869,12 @@ def _fused_llama_fwd(p, x, cos, sin, cfg):
 
 
 def _fused_llama_bwd(cfg, res, g):
-    from fast3r_tpu.models.llama_decoder import llama_block
-
+    """Recompute the FUSED forward and differentiate through the fused
+    primitives (custom VJPs -> fused RMS backward kernels); see
+    _fused_block_bwd."""
     p, x, cos, sin = res
-    _, vjp = jax.vjp(lambda p_, x_: llama_block(p_, x_, cos, sin, cfg,
-                                                fused=False), p, x)
+    _, vjp = jax.vjp(lambda p_, x_: _fused_llama_impl(p_, x_, cos, sin, cfg),
+                     p, x)
     dp, dx = vjp(g)
     return dp, dx, jnp.zeros_like(cos), jnp.zeros_like(sin)
 
@@ -486,4 +896,9 @@ def fused_llama_supported(x_shape, cfg, itemsize: int = 2) -> bool:
         and _pick_bm(m, d, d, d * d * it, it) > 0
         and _pick_bm(m, d, cfg.ffn_hidden, d * cfg.ffn_hidden * it, it) > 0
         and _pick_bm(m, cfg.ffn_hidden, d, d * cfg.ffn_hidden * it, it) > 0
+        # fused backward kernels (rms_qkv3 + the two swiglu rms_matmuls)
+        and _pick_bm_bwd(m, d, d + 2 * kvd, (d * d + 2 * d * kvd) * it,
+                         it) > 0
+        and _pick_bm_bwd(m, d, cfg.ffn_hidden, d * cfg.ffn_hidden * it,
+                         it) > 0
     )

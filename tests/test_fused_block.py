@@ -92,6 +92,82 @@ def test_fused_block_matches_plain(block_setup, with_rope):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_ln_matmul_grads_match_autodiff(block_setup):
+    """The fused backward kernel (_ln_matmul_bwd: LN-stat recompute, in-kernel
+    gelu', contraction-transposed du, scratch-accumulated dgamma/dbeta)
+    matches autodiff of the plain composition for every input cotangent."""
+    p, x = block_setup
+    x2 = x.reshape(-1, C)
+    g0, b0 = p["norm2"]["scale"], p["norm2"]["bias"]
+    w, bias = p["mlp"]["fc1"]["w"], p["mlp"]["fc1"]["b"]
+
+    def plain(x_, g_, b_, w_, bias_):
+        mean = jnp.mean(x_, -1, keepdims=True)
+        var = jnp.var(x_, -1, keepdims=True)
+        y = (x_ - mean) * jax.lax.rsqrt(var + 1e-6) * g_ + b_
+        return jnp.sum(jnp.sin(jax.nn.gelu(y @ w_ + bias_,
+                                           approximate=False)))
+
+    def fused(x_, g_, b_, w_, bias_):
+        return jnp.sum(jnp.sin(fb.ln_matmul(x_, g_, b_, w_, bias_, 1e-6,
+                                            act="gelu")))
+
+    ref = jax.grad(plain, argnums=(0, 1, 2, 3, 4))(x2, g0, b0, w, bias)
+    got = jax.grad(fused, argnums=(0, 1, 2, 3, 4))(x2, g0, b0, w, bias)
+    for a, b, name in zip(got, ref, ("dx", "dgamma", "dbeta", "dw", "dbias")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5, err_msg=name)
+
+
+def test_ln_qkv_grads_match_autodiff(block_setup):
+    p, x = block_setup
+    x2 = x.reshape(-1, C)
+    g0, b0 = p["norm1"]["scale"], p["norm1"]["bias"]
+    w, bias = p["attn"]["qkv"]["w"], p["attn"]["qkv"]["b"]
+
+    def plain(x_, w_):
+        mean = jnp.mean(x_, -1, keepdims=True)
+        var = jnp.var(x_, -1, keepdims=True)
+        y = (x_ - mean) * jax.lax.rsqrt(var + 1e-6) * g0 + b0
+        z = y @ w_ + bias
+        q, k, v = z[:, :C], z[:, C:2 * C], z[:, 2 * C:]
+        return jnp.sum(jnp.sin(q) + 2 * jnp.cos(k) + 3 * jnp.sin(v))
+
+    def fused(x_, w_):
+        q, k, v = fb.ln_qkv(x_, g0, b0, w_, bias, 1e-6)
+        return jnp.sum(jnp.sin(q) + 2 * jnp.cos(k) + 3 * jnp.sin(v))
+
+    ref = jax.grad(plain, argnums=(0, 1))(x2, w)
+    got = jax.grad(fused, argnums=(0, 1))(x2, w)
+    for a, b, name in zip(got, ref, ("dx", "dw")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5, err_msg=name)
+
+
+def test_fused_block_bf16_grads_close(block_setup):
+    """bf16 block grads from the fused backward stay within bf16 noise of the
+    plain path (the production training dtype)."""
+    p, x = block_setup
+    hd = C // HEADS
+    pb = jax.tree.map(lambda a: a.astype(jnp.bfloat16), p)
+    xb = x.astype(jnp.bfloat16)
+
+    def loss_plain(x_):
+        return jnp.sum(vit_block(pb, x_, HEADS, hd ** -0.5,
+                                 attn_impl="naive").astype(jnp.float32))
+
+    def loss_fused(x_):
+        return jnp.sum(fb.fused_vit_block(
+            pb, x_, None, HEADS, hd ** -0.5, "naive",
+            1e-6).astype(jnp.float32))
+
+    gx_ref = jax.grad(loss_plain)(xb).astype(jnp.float32)
+    gx = jax.grad(loss_fused)(xb).astype(jnp.float32)
+    denom = float(jnp.mean(jnp.abs(gx_ref))) + 1e-8
+    rel = float(jnp.mean(jnp.abs(gx - gx_ref))) / denom
+    assert rel < 0.05, rel
+
+
 def test_fused_block_grads_match_plain(block_setup):
     p, x = block_setup
     hd = C // HEADS
