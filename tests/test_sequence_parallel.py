@@ -1,6 +1,7 @@
 """Ring attention + sequence-sharded forward tests on the virtual 8-dev mesh."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -255,17 +256,21 @@ def test_seq_sharded_train_step_2d_mesh_matches_single_device():
                                    rtol=2e-3, atol=2e-5)
 
 
-def test_rdma_ring_attention_matches_global():
+@pytest.mark.parametrize("n", [1, 2, 3, 8])
+def test_rdma_ring_attention_matches_global(n):
     """In-kernel RDMA ring (parallel/ring_rdma.py) vs global attention —
     interpreter mode exercises the real hop schedule (local copy, per-slot
-    remote copies + semaphore waits, tile double buffering)."""
+    remote copies + semaphore waits, tile double buffering).  n covers the
+    protocol's regimes: 1 (no hops — the single-chip hardware-lowering
+    config), 2 (hops, no slot reuse), 3 (first reuse + capacity tokens),
+    8 (steady-state back-pressure over the two reusable slots)."""
     from fast3r_tpu.parallel.ring_rdma import ring_flash_attention_rdma
 
     devs = jax.devices()
     assert len(devs) == 8
-    mesh = Mesh(np.array(devs), ("seq",))
+    mesh = Mesh(np.array(devs[:n]), ("seq",))
     rng = np.random.default_rng(7)
-    B, S, H, D = 1, 8 * 32, 4, 32
+    B, S, H, D = 1, n * 32 * max(1, 8 // n), 4, 32
     q, k, v = (
         jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
         for _ in range(3)
@@ -274,7 +279,7 @@ def test_rdma_ring_attention_matches_global():
     ref = dot_product_attention(q, k, v, scale, impl="naive")
 
     fn = jax.jit(jax.shard_map(
-        lambda q, k, v: ring_flash_attention_rdma(q, k, v, scale, "seq", 8),
+        lambda q, k, v: ring_flash_attention_rdma(q, k, v, scale, "seq", n),
         mesh=mesh,
         in_specs=(P(None, "seq"), P(None, "seq"), P(None, "seq")),
         out_specs=P(None, "seq"),
