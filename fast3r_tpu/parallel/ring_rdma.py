@@ -118,7 +118,7 @@ def _ring_fwd_kernel(q_ref, k_ref, v_ref,
                      acc_hbm, m_hbm, acc_vmem, m_vmem,
                      local_sem, recv_sem, send_sem, copy_sem,
                      cap_send, cap_recv, state_sem,
-                     *, scale: float, n: int, bk: int, bq: int,
+                     *, scale: float, n: int, nd: int, bk: int, bq: int,
                      axis_name: str):
     s = pl.program_id(0)
     bh = pl.program_id(1)
@@ -126,8 +126,8 @@ def _ring_fwd_kernel(q_ref, k_ref, v_ref,
     nbh = pl.num_programs(1)
     nq = pl.num_programs(2)
     my = jax.lax.axis_index(axis_name)
-    right = jax.lax.rem(my + 1, n)
-    left = jax.lax.rem(my + n - 1, n)
+    right = jax.lax.rem(my + 1, nd)
+    left = jax.lax.rem(my + nd - 1, nd)
     S_loc = k_ref.shape[1]
     kv_steps = S_loc // bk
     slot = jax.lax.rem(s, NSLOTS)
@@ -287,13 +287,25 @@ def _ring_fwd_kernel(q_ref, k_ref, v_ref,
 
 def ring_flash_attention_rdma(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                               scale: float, axis_name: str,
-                              axis_size: int) -> jnp.ndarray:
+                              axis_size: int,
+                              self_ring_epochs: int = None) -> jnp.ndarray:
     """Drop-in for ring_flash_attention (forward only): (B, N_loc, H, D).
 
     axis_size: STATIC size of the ring axis (mesh.shape[axis_name]) — sizes
     the epoch grid dimension and the hop schedule.
+
+    self_ring_epochs: debug/validation mode for axis_size == 1 — run that
+    many ring epochs with every hop RDMA-ing the device's OWN slots
+    (right == left == self).  Softmax over n duplicated copies of K/V
+    returns the SAME output o (the duplicate weights renormalize away), so
+    a self-ring must bit-match the plain single-pass kernel — this is the
+    single-chip configuration that exercises the remote-copy + capacity
+    -token Mosaic lowering on real hardware (VERDICT r2 item 5).
     """
     n = axis_size
+    if self_ring_epochs is not None:
+        assert axis_size == 1, "self-ring is a single-device mode"
+        n = self_ring_epochs
     B, S_loc, H, D = q.shape
     qt = jnp.swapaxes(q, 1, 2).reshape(B * H, S_loc, D)
     kt = jnp.swapaxes(k, 1, 2).reshape(B * H, S_loc, D)
@@ -307,7 +319,7 @@ def ring_flash_attention_rdma(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     o, lse = pl.pallas_call(
         functools.partial(_ring_fwd_kernel, scale=float(scale), n=n,
-                          bk=bk, bq=bq, axis_name=axis_name),
+                          nd=axis_size, bk=bk, bq=bq, axis_name=axis_name),
         grid=(n, BH, S_loc // bq),
         in_specs=[
             pl.BlockSpec((1, bq, D), lambda s, bh, qi: (bh, qi, 0)),

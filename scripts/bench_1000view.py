@@ -35,6 +35,13 @@ def main():
     ap.add_argument("--encoder-chunk", type=int, default=500,
                     help="images per encoder dispatch in --staged mode "
                          "(the reference's encoder chunk, fast3r.py:250)")
+    ap.add_argument("--host-hooks", action="store_true",
+                    help="spill decoder hook activations to HOST memory as "
+                         "they are produced and feed head chunks from host "
+                         "slices — required at 512-res 1000 views, where "
+                         "the four device-resident hooks (4 x 1.57 GB) plus "
+                         "the per-layer MLP transient (6.3 GB at S=768k) "
+                         "exceed the 16 GB HBM")
     args = ap.parse_args()
     if args.staged:
         return main_staged(args)
@@ -159,23 +166,43 @@ def main_staged(args):
         l = dpt_head_forward(p["head_local"], cfg.head, list(tokens), (H, W))
         return (g["pts3d"], g["conf"], l["pts3d"], l["conf"])
 
+    def to_host(x):
+        """Device -> host spill (np.asarray also serves as the dispatch
+        sync); the device buffer is freed when the jnp reference drops."""
+        return np.asarray(x)
+
     def full_pass():
         t0 = time.perf_counter()
-        chunks = [sync(encode(params, imgs[i:i + ec]))
-                  for i in range(0, V, ec)]
-        fused = jnp.concatenate(chunks, axis=1)
-        x = sync(embed(params, fused))
-        hooks = {0: fused}
-        pos = 0
+        hooks = {}
+        if args.host_hooks:
+            # encoder chunks land on host immediately; fused re-uploads once
+            host_chunks = [to_host(encode(params, imgs[i:i + ec]))
+                           for i in range(0, V, ec)]
+            fused_host = np.concatenate(host_chunks, axis=1)
+            del host_chunks
+            hooks[0] = fused_host
+            x = sync(embed(params, jnp.asarray(fused_host)))
+        else:
+            chunks = [sync(encode(params, imgs[i:i + ec]))
+                      for i in range(0, V, ec)]
+            fused = jnp.concatenate(chunks, axis=1)
+            hooks[0] = fused
+            x = sync(embed(params, fused))
         for a, b in segments:
             x = sync(seg_fns[(a, b)](params, x))
-            if b in dcfg.hooks:
-                hooks[b] = x
-        hooks[dcfg.depth] = sync(final_norm(params, x))
+            if b in dcfg.hooks and b != dcfg.depth:
+                hooks[b] = to_host(x) if args.host_hooks else x
+        hooks[dcfg.depth] = (to_host(final_norm(params, x))
+                             if args.host_hooks
+                             else sync(final_norm(params, x)))
+        if args.host_hooks:
+            del x
         conf_sum = 0.0
         for start in range(0, V, cv):
             toks = tuple(
-                hooks[h][0, start * P:(start + cv) * P].reshape(cv, P, -1)
+                jnp.asarray(
+                    hooks[h][0, start * P:(start + cv) * P]
+                ).reshape(cv, P, -1)
                 for h in dcfg.hooks
             )
             out = run_head_chunk(params, toks)

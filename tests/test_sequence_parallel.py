@@ -291,6 +291,32 @@ def test_rdma_ring_attention_matches_global(n):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_rdma_self_ring_matches_plain():
+    """Single-device self-ring (every hop RDMAs the device's own slots):
+    output must equal plain attention — the configuration used to exercise
+    the remote-copy lowering on one real chip (scripts/bench_rdma_single)."""
+    from fast3r_tpu.parallel.ring_rdma import ring_flash_attention_rdma
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("seq",))
+    rng = np.random.default_rng(9)
+    B, S, H, D = 1, 256, 4, 32
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+        for _ in range(3)
+    )
+    scale = D ** -0.5
+    ref = dot_product_attention(q, k, v, scale, impl="naive")
+    fn = jax.jit(jax.shard_map(
+        lambda q, k, v: ring_flash_attention_rdma(
+            q, k, v, scale, "seq", 1, self_ring_epochs=4),
+        mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(),
+        check_vma=False,
+    ))
+    out = fn(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_seq_sharded_forward_rdma_matches_single_device():
     """The full 1000-view-path forward with ring_impl='rdma' must equal the
     single-device forward (and therefore the xla-ring variant)."""
