@@ -109,17 +109,17 @@ def _pick_bm(m: int, k: int, n: int, w_bytes: int, itemsize: int) -> int:
     return best
 
 
-def _pick_bm_bwd(m: int, k: int, n: int, w_bytes: int, itemsize: int) -> int:
-    """Row tile for the fused LN-matmul BACKWARD kernel: W resident + five
-    double-buffered token streams (x, g in; dx, dz, u out) + the fp32 live
-    set (xhat/du/dxhat at width K, z/dz at width N)."""
+def _pick_bm_replay(m: int, k: int, n: int, w_bytes: int,
+                    itemsize: int) -> int:
+    """Row tile for the residual-emitting REPLAY kernels (training backward
+    path): the forward streams plus the extra u / z / stat output tiles."""
     best = 0
     bm = 8
-    while bm <= 512:
+    while bm <= 1024:
         if m % bm == 0:
             need = (w_bytes
-                    + 2 * itemsize * bm * (3 * k + 2 * n)   # streamed tiles
-                    + 4 * bm * (3 * k + 2 * n))             # fp32 live set
+                    + 2 * itemsize * bm * (2 * k + 2 * n)   # x,u in/out + y,z
+                    + 3 * bm * k * 4)                       # fp32 LN live set
             if need <= VMEM_BUDGET:
                 best = bm
         bm += 8
@@ -184,121 +184,108 @@ def _matmul_res_kernel(x_ref, w_ref, bias_ref, r_ref, o_ref):
     o_ref[:] = (r_ref[:].astype(jnp.float32) + out).astype(o_ref.dtype)
 
 
-def _ln_matmul_bwd_kernel(x_ref, g_ref, gamma_ref, beta_ref, w_ref, bias_ref,
-                          dx_ref, dz_ref, u_ref, dgamma_ref, dbeta_ref,
-                          dgamma_scr, dbeta_scr,
-                          *, eps: float, act: Optional[str], steps: int):
-    """Fused backward for y = act(LN(x) @ W + b) — everything except the
-    weight-gradient matmul, which needs cross-tile contraction and runs as
-    one XLA matmul over the (u, dz) tiles this kernel streams out:
-
-      recompute LN stats + xhat from x (VPU; cheaper than an HBM round-trip
-        for saved stats at these shapes), u = xhat*gamma + beta;
-      recompute z = u @ W + b ONLY when act is set (MXU recompute beats
-        saving z: at (3840, 1024, 4096) the matmul is ~0.17 ms vs ~0.75 ms
-        of HBM for a saved bf16 z — the v5e trades FLOPs for bandwidth);
-      dz = g * act'(z); du = dz @ W^T via contraction dims on the SAME
-        resident W (no transposed copy); LN backward to dx (VPU);
-      dgamma/dbeta accumulate across the sequential grid in VMEM scratch.
-    """
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _init():
-        dgamma_scr[:] = jnp.zeros_like(dgamma_scr)
-        dbeta_scr[:] = jnp.zeros_like(dbeta_scr)
-
+def _ln_matmul_replay_kernel(x_ref, g_ref, b_ref, w_ref, bias_ref,
+                             o_ref, u_ref, mean_ref, rstd_ref, *refs,
+                             eps: float, act: Optional[str]):
+    """Forward replay for the training backward: same math as
+    _ln_matmul_kernel, additionally EMITTING the intermediates the backward
+    needs (u = LN output, per-row mean/rstd, and pre-activation z when an
+    activation is set).  Emitting them from inside the kernel costs one HBM
+    write each — the r3 first-cut fused backward kernel instead RECOMPUTED
+    z with W resident at bm~32 row tiles and measured SLOWER than XLA's
+    backward (0.367 vs 0.351 s on the 12-view train step); with residuals
+    saved, the backward is pure XLA (full-efficiency matmuls + fused
+    elementwise) while the replay keeps the fused-forward win."""
     xf = x_ref[:].astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     xc = xf - mean
     var = jnp.mean(xc * xc, axis=-1, keepdims=True)
     rstd = jax.lax.rsqrt(var + eps)
-    xhat = xc * rstd
-    gamma = gamma_ref[:].astype(jnp.float32)
-    u = xhat * gamma + beta_ref[:].astype(jnp.float32)
+    u = ((xc * rstd) * g_ref[:].astype(jnp.float32)
+         + b_ref[:].astype(jnp.float32))
     u_cast = u.astype(u_ref.dtype)
     u_ref[:] = u_cast
-
-    g = g_ref[:].astype(jnp.float32)
-    if act == "gelu":
-        z = jax.lax.dot_general(
-            u_cast, w_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + bias_ref[:].astype(jnp.float32)
-        dz = g * _gelu_grad(z)
-    else:
-        dz = g
-    dz_cast = dz.astype(dz_ref.dtype)
-    dz_ref[:] = dz_cast
-
-    # du = dz @ W^T without a transposed weight copy: contract both N axes
-    du = jax.lax.dot_general(
-        dz_cast, w_ref[:], (((1,), (1,)), ((), ())),
+    mean_ref[:] = mean
+    rstd_ref[:] = rstd
+    z = jax.lax.dot_general(
+        u_cast, w_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    dgamma_scr[:] += jnp.sum(du * xhat, axis=0, keepdims=True)
-    dbeta_scr[:] += jnp.sum(du, axis=0, keepdims=True)
-    dxhat = du * gamma
-    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
-    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
-    dx_ref[:] = (rstd * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
-
-    @pl.when(i == steps - 1)
-    def _finish():
-        dgamma_ref[:] = dgamma_scr[:]
-        dbeta_ref[:] = dbeta_scr[:]
+    ) + bias_ref[:].astype(jnp.float32)
+    if act == "gelu":
+        refs[0][:] = z.astype(refs[0].dtype)  # z_ref: only needed for act'
+        out = _gelu_exact(z)
+    else:
+        out = z  # y IS z — the backward needs no separate copy
+    o_ref[:] = out.astype(o_ref.dtype)
 
 
-def _ln_matmul_bwd(x, gamma, beta, w, bias, g, eps: float,
-                   act: Optional[str]):
-    """Run the fused backward kernel + the XLA weight-grad matmul.  Returns
-    (dx, dgamma, dbeta, dw, dbias) in the primal dtypes."""
+def _ln_matmul_replay(x, gamma, beta, w, bias, eps: float,
+                      act: Optional[str]):
+    """(y, u, mean, rstd[, z]) via the replay kernel (z only when act)."""
     m, k = x.shape
     n = w.shape[1]
-    bm = _pick_bm_bwd(m, k, n, w.size * w.dtype.itemsize, x.dtype.itemsize)
-    assert bm, ("untileable fused backward — gate with "
-                f"fused_block_supported: {(m, k, n)}")
-    dx, dz, u, dgamma, dbeta = pl.pallas_call(
-        functools.partial(_ln_matmul_bwd_kernel, eps=eps, act=act,
-                          steps=m // bm),
+    bm = _pick_bm_replay(m, k, n, w.size * w.dtype.itemsize,
+                         x.dtype.itemsize)
+    assert bm, f"untileable fused replay: {(m, k, n)}"
+    out_specs = [
+        pl.BlockSpec((bm, n), lambda i: (i, 0)),
+        pl.BlockSpec((bm, k), lambda i: (i, 0)),
+        pl.BlockSpec((bm, 1), lambda i: (i, 0)),
+        pl.BlockSpec((bm, 1), lambda i: (i, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((m, n), x.dtype),
+        jax.ShapeDtypeStruct((m, k), x.dtype),
+        jax.ShapeDtypeStruct((m, 1), jnp.float32),
+        jax.ShapeDtypeStruct((m, 1), jnp.float32),
+    ]
+    if act is not None:
+        out_specs.append(pl.BlockSpec((bm, n), lambda i: (i, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((m, n), x.dtype))
+    return pl.pallas_call(
+        functools.partial(_ln_matmul_replay_kernel, eps=eps, act=act),
         grid=(m // bm,),
         in_specs=[
             pl.BlockSpec((bm, k), lambda i: (i, 0)),
-            pl.BlockSpec((bm, n), lambda i: (i, 0)),
             pl.BlockSpec((k,), lambda i: (0,)),
             pl.BlockSpec((k,), lambda i: (0,)),
             pl.BlockSpec((k, n), lambda i: (0, 0)),
             pl.BlockSpec((n,), lambda i: (0,)),
         ],
-        out_specs=[
-            pl.BlockSpec((bm, k), lambda i: (i, 0)),
-            pl.BlockSpec((bm, n), lambda i: (i, 0)),
-            pl.BlockSpec((bm, k), lambda i: (i, 0)),
-            pl.BlockSpec((1, k), lambda i: (0, 0)),
-            pl.BlockSpec((1, k), lambda i: (0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((m, k), x.dtype),
-            jax.ShapeDtypeStruct((m, n), x.dtype),
-            jax.ShapeDtypeStruct((m, k), x.dtype),
-            jax.ShapeDtypeStruct((1, k), jnp.float32),
-            jax.ShapeDtypeStruct((1, k), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((1, k), jnp.float32),
-            pltpu.VMEM((1, k), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_interpret(),
-    )(x, g, gamma, beta, w, bias)
+    )(x, gamma, beta, w, bias)
+
+
+def _ln_backward_xla(x, gamma, beta, w, bias, u, mean, rstd, z, g,
+                     act: Optional[str]):
+    """Pure-XLA backward over the saved replay residuals: full-efficiency
+    du/dW matmuls, act'/LN-backward as fused elementwise chains.
+
+    Returns (dx, dgamma, dbeta, dw, dbias) in the primal dtypes."""
+    gf = g.astype(jnp.float32)
+    if act == "gelu":
+        dz = gf * _gelu_grad(z.astype(jnp.float32))
+    else:
+        dz = gf
+    dzc = dz.astype(x.dtype)
+    du = jax.lax.dot_general(
+        dzc, w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
     dw = jax.lax.dot_general(
-        u, dz, (((0,), (0,)), ((), ())),
+        u, dzc, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(w.dtype)
-    dbias = jnp.sum(dz.astype(jnp.float32), axis=0).astype(bias.dtype)
-    return (dx, dgamma.reshape(-1).astype(gamma.dtype),
-            dbeta.reshape(-1).astype(beta.dtype), dw, dbias)
+    dbias = jnp.sum(dz, axis=0).astype(bias.dtype)
+    xf = x.astype(jnp.float32)
+    xhat = (xf - mean) * rstd
+    dgamma = jnp.sum(du * xhat, axis=0).astype(gamma.dtype)
+    dbeta = jnp.sum(du, axis=0).astype(beta.dtype)
+    dxhat = du * gamma.astype(jnp.float32)
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = (rstd * (dxhat - m1 - xhat * m2)).astype(x.dtype)
+    return dx, dgamma, dbeta, dw, dbias
 
 
 # ---------------------------------------------------------------------------
@@ -334,13 +321,16 @@ def _ln_matmul_p(x, gamma, beta, w, bias, eps, act):
 
 
 def _ln_matmul_p_fwd(x, gamma, beta, w, bias, eps, act):
-    return _ln_matmul_p(x, gamma, beta, w, bias, eps, act), (x, gamma, beta,
-                                                             w, bias)
+    outs = _ln_matmul_replay(x, gamma, beta, w, bias, eps, act)
+    y, u, mean, rstd = outs[:4]
+    z = outs[4] if act is not None else None
+    return y, (x, gamma, beta, w, bias, u, mean, rstd, z)
 
 
 def _ln_matmul_p_bwd(eps, act, res, g):
-    x, gamma, beta, w, bias = res
-    return _ln_matmul_bwd(x, gamma, beta, w, bias, g, eps, act)
+    x, gamma, beta, w, bias, u, mean, rstd, z = res
+    return _ln_backward_xla(x, gamma, beta, w, bias, u, mean, rstd, z, g,
+                            act)
 
 
 _ln_matmul_p.defvjp(_ln_matmul_p_fwd, _ln_matmul_p_bwd)
@@ -352,7 +342,7 @@ def _ln_tileable(x, w, need_bwd: bool = True) -> bool:
     wb = w.size * w.dtype.itemsize
     if _pick_bm(m, k, n, wb, x.dtype.itemsize) == 0:
         return False
-    return not need_bwd or _pick_bm_bwd(m, k, n, wb, x.dtype.itemsize) > 0
+    return not need_bwd or _pick_bm_replay(m, k, n, wb, x.dtype.itemsize) > 0
 
 
 def ln_matmul(x, gamma, beta, w, bias, eps: float, act: Optional[str] = None):
@@ -399,16 +389,19 @@ def _ln_qkv_p(x, gamma, beta, w, bias, eps):
 
 
 def _ln_qkv_p_fwd(x, gamma, beta, w, bias, eps):
-    return _ln_qkv_p(x, gamma, beta, w, bias, eps), (x, gamma, beta, w, bias)
+    y, u, mean, rstd = _ln_matmul_replay(x, gamma, beta, w, bias, eps, None)
+    c = w.shape[1] // 3
+    return ((y[:, :c], y[:, c:2 * c], y[:, 2 * c:]),
+            (x, gamma, beta, w, bias, u, mean, rstd))
 
 
 def _ln_qkv_p_bwd(eps, res, g):
-    x, gamma, beta, w, bias = res
+    x, gamma, beta, w, bias, u, mean, rstd = res
     # the three head grads re-concatenate into the (M, 3C) projection grad —
-    # one HBM materialization; the LN/dW machinery is then identical to
-    # ln_matmul with act=None
+    # one HBM materialization; the machinery is then ln_matmul with act=None
     gcat = jnp.concatenate(g, axis=1)
-    return _ln_matmul_bwd(x, gamma, beta, w, bias, gcat, eps, None)
+    return _ln_backward_xla(x, gamma, beta, w, bias, u, mean, rstd, None,
+                            gcat, None)
 
 
 _ln_qkv_p.defvjp(_ln_qkv_p_fwd, _ln_qkv_p_bwd)
@@ -425,91 +418,88 @@ def ln_qkv(x, gamma, beta, w, bias, eps: float):
     return _ln_qkv_p(x, gamma, beta, w, bias, eps)
 
 
-def _rms_matmul_bwd_kernel(x_ref, g_ref, gamma_ref, w_ref,
-                           dx_ref, dz_ref, u_ref, dgamma_ref, dgamma_scr,
-                           *, eps: float, act: Optional[str], steps: int):
-    """RMSNorm analogue of _ln_matmul_bwd_kernel (llama blocks: bias-free
-    linears, silu activation, cast-before-gamma RMS forward)."""
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _init():
-        dgamma_scr[:] = jnp.zeros_like(dgamma_scr)
-
+def _rms_matmul_replay_kernel(x_ref, g_ref, w_ref,
+                              o_ref, u_ref, rstd_ref, *refs,
+                              eps: float, act: Optional[str]):
+    """RMSNorm analogue of _ln_matmul_replay_kernel (llama blocks: bias-free
+    linears, silu activation, cast-before-gamma RMS forward); emits u and
+    rstd (plus z for silu) for the pure-XLA backward."""
     xf = x_ref[:].astype(jnp.float32)
     rstd = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
-    # forward casts xhat to x.dtype BEFORE the gamma multiply (_rms_f32);
-    # reproduce the rounding so u matches the forward bit-for-bit
+    # forward casts xhat to x.dtype BEFORE the gamma multiply (_rms_f32)
     xhat = (xf * rstd).astype(x_ref.dtype).astype(jnp.float32)
-    gamma = gamma_ref[:].astype(jnp.float32)
-    u = xhat * gamma
+    u = xhat * g_ref[:].astype(jnp.float32)
     u_cast = u.astype(u_ref.dtype)
     u_ref[:] = u_cast
-
-    g = g_ref[:].astype(jnp.float32)
-    if act == "silu":
-        z = jax.lax.dot_general(
-            u_cast, w_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        sig = jax.nn.sigmoid(z)
-        dz = g * sig * (1.0 + z * (1.0 - sig))
-    else:
-        dz = g
-    dz_cast = dz.astype(dz_ref.dtype)
-    dz_ref[:] = dz_cast
-
-    du = jax.lax.dot_general(
-        dz_cast, w_ref[:], (((1,), (1,)), ((), ())),
+    rstd_ref[:] = rstd
+    z = jax.lax.dot_general(
+        u_cast, w_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    dgamma_scr[:] += jnp.sum(du * xhat, axis=0, keepdims=True)
-    dxhat = du * gamma
-    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
-    dx_ref[:] = (rstd * (dxhat - xhat * m2)).astype(dx_ref.dtype)
-
-    @pl.when(i == steps - 1)
-    def _finish():
-        dgamma_ref[:] = dgamma_scr[:]
+    if act == "silu":
+        refs[0][:] = z.astype(refs[0].dtype)
+        out = z * jax.nn.sigmoid(z)
+    else:
+        out = z
+    o_ref[:] = out.astype(o_ref.dtype)
 
 
-def _rms_matmul_bwd(x, gamma, w, g, eps: float, act: Optional[str]):
-    """(dx, dgamma, dw) via the fused RMS backward kernel + one XLA dW
-    matmul."""
+def _rms_matmul_replay(x, gamma, w, eps: float, act: Optional[str]):
     m, k = x.shape
     n = w.shape[1]
-    bm = _pick_bm_bwd(m, k, n, w.size * w.dtype.itemsize, x.dtype.itemsize)
-    assert bm, f"untileable fused RMS backward: {(m, k, n)}"
-    dx, dz, u, dgamma = pl.pallas_call(
-        functools.partial(_rms_matmul_bwd_kernel, eps=eps, act=act,
-                          steps=m // bm),
+    bm = _pick_bm_replay(m, k, n, w.size * w.dtype.itemsize,
+                         x.dtype.itemsize)
+    assert bm, f"untileable fused RMS replay: {(m, k, n)}"
+    out_specs = [
+        pl.BlockSpec((bm, n), lambda i: (i, 0)),
+        pl.BlockSpec((bm, k), lambda i: (i, 0)),
+        pl.BlockSpec((bm, 1), lambda i: (i, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((m, n), x.dtype),
+        jax.ShapeDtypeStruct((m, k), x.dtype),
+        jax.ShapeDtypeStruct((m, 1), jnp.float32),
+    ]
+    if act is not None:
+        out_specs.append(pl.BlockSpec((bm, n), lambda i: (i, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((m, n), x.dtype))
+    return pl.pallas_call(
+        functools.partial(_rms_matmul_replay_kernel, eps=eps, act=act),
         grid=(m // bm,),
         in_specs=[
             pl.BlockSpec((bm, k), lambda i: (i, 0)),
-            pl.BlockSpec((bm, n), lambda i: (i, 0)),
             pl.BlockSpec((k,), lambda i: (0,)),
             pl.BlockSpec((k, n), lambda i: (0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((bm, k), lambda i: (i, 0)),
-            pl.BlockSpec((bm, n), lambda i: (i, 0)),
-            pl.BlockSpec((bm, k), lambda i: (i, 0)),
-            pl.BlockSpec((1, k), lambda i: (0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((m, k), x.dtype),
-            jax.ShapeDtypeStruct((m, n), x.dtype),
-            jax.ShapeDtypeStruct((m, k), x.dtype),
-            jax.ShapeDtypeStruct((1, k), jnp.float32),
-        ],
-        scratch_shapes=[pltpu.VMEM((1, k), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_interpret(),
-    )(x, g, gamma, w)
+    )(x, gamma, w)
+
+
+def _rms_backward_xla(x, gamma, w, u, rstd, z, g, act: Optional[str]):
+    """Pure-XLA RMS backward over the saved replay residuals.
+    Returns (dx, dgamma, dw)."""
+    gf = g.astype(jnp.float32)
+    if act == "silu":
+        zf = z.astype(jnp.float32)
+        sig = jax.nn.sigmoid(zf)
+        dz = gf * sig * (1.0 + zf * (1.0 - sig))
+    else:
+        dz = gf
+    dzc = dz.astype(x.dtype)
+    du = jax.lax.dot_general(
+        dzc, w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
     dw = jax.lax.dot_general(
-        u, dz, (((0,), (0,)), ((), ())),
+        u, dzc, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(w.dtype)
-    return dx, dgamma.reshape(-1).astype(gamma.dtype), dw
+    xf = x.astype(jnp.float32)
+    xhat = (xf * rstd).astype(x.dtype).astype(jnp.float32)
+    dgamma = jnp.sum(du * xhat, axis=0).astype(gamma.dtype)
+    dxhat = du * gamma.astype(jnp.float32)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = (rstd * (dxhat - xhat * m2)).astype(x.dtype)
+    return dx, dgamma, dw
 
 
 def _rms_matmul_call(x, gamma, w, eps: float, act: Optional[str], bm: int):
@@ -538,11 +528,15 @@ def _rms_matmul_p(x, gamma, w, eps, act):
 
 
 def _rms_matmul_p_fwd(x, gamma, w, eps, act):
-    return _rms_matmul_p(x, gamma, w, eps, act), (x, gamma, w)
+    outs = _rms_matmul_replay(x, gamma, w, eps, act)
+    y, u, rstd = outs[:3]
+    z = outs[3] if act is not None else None
+    return y, (x, gamma, w, u, rstd, z)
 
 
 def _rms_matmul_p_bwd(eps, act, res, g):
-    return _rms_matmul_bwd(*res, g, eps, act)
+    x, gamma, w, u, rstd, z = res
+    return _rms_backward_xla(x, gamma, w, u, rstd, z, g, act)
 
 
 _rms_matmul_p.defvjp(_rms_matmul_p_fwd, _rms_matmul_p_bwd)
@@ -596,16 +590,21 @@ def _rms_qkv3_p(x, gamma, wq, wk, wv, eps):
 
 
 def _rms_qkv3_p_fwd(x, gamma, wq, wk, wv, eps):
-    return _rms_qkv3_p(x, gamma, wq, wk, wv, eps), (x, gamma, wq, wk, wv)
+    # replay through one wide matmul over the concatenated weights (a few
+    # MB, one HBM pass), split the projections for the primal outputs
+    wcat = jnp.concatenate([wq, wk, wv], axis=1)
+    y, u, rstd = _rms_matmul_replay(x, gamma, wcat, eps, None)
+    nq, nk = wq.shape[1], wk.shape[1]
+    return ((y[:, :nq], y[:, nq:nq + nk], y[:, nq + nk:]),
+            (x, gamma, wq, wk, wv, u, rstd))
 
 
 def _rms_qkv3_p_bwd(eps, res, g):
-    # fold the three projections into one wide backward: concat the weights
-    # (a few MB, one HBM pass) and the grads, reuse the RMS kernel, split dW
-    x, gamma, wq, wk, wv = res
+    x, gamma, wq, wk, wv, u, rstd = res
     wcat = jnp.concatenate([wq, wk, wv], axis=1)
     gcat = jnp.concatenate(g, axis=1)
-    dx, dgamma, dw = _rms_matmul_bwd(x, gamma, wcat, gcat, eps, None)
+    dx, dgamma, dw = _rms_backward_xla(x, gamma, wcat, u, rstd, None, gcat,
+                                       None)
     nq, nk = wq.shape[1], wk.shape[1]
     return (dx, dgamma, dw[:, :nq], dw[:, nq:nq + nk], dw[:, nq + nk:])
 
@@ -623,7 +622,7 @@ def rms_qkv3(x, gamma, wq, wk, wv, eps: float):
     it = x.dtype.itemsize
     if (k % 128 or nq % 128 or nk % 128 or nv % 128
             or _pick_bm(m, k, nq + nk + nv, w_bytes, it) == 0
-            or _pick_bm_bwd(m, k, nq + nk + nv, w_bytes, it) == 0):
+            or _pick_bm_replay(m, k, nq + nk + nv, w_bytes, it) == 0):
         return None
     return _rms_qkv3_p(x, gamma, wq, wk, wv, eps)
 
@@ -798,8 +797,8 @@ def fused_block_supported(x_shape, dim: int, mlp_hidden: int,
         and _pick_bm(m, c, mlp_hidden, c * mlp_hidden * it, it) > 0
         and _pick_bm(m, mlp_hidden, c, c * mlp_hidden * it, it) > 0
         # the fused BACKWARD kernels must tile too (ln_qkv + ln_matmul bwd)
-        and _pick_bm_bwd(m, c, 3 * c, 3 * c * c * it, it) > 0
-        and _pick_bm_bwd(m, c, mlp_hidden, c * mlp_hidden * it, it) > 0
+        and _pick_bm_replay(m, c, 3 * c, 3 * c * c * it, it) > 0
+        and _pick_bm_replay(m, c, mlp_hidden, c * mlp_hidden * it, it) > 0
     )
 
 
@@ -897,8 +896,8 @@ def fused_llama_supported(x_shape, cfg, itemsize: int = 2) -> bool:
         and _pick_bm(m, d, cfg.ffn_hidden, d * cfg.ffn_hidden * it, it) > 0
         and _pick_bm(m, cfg.ffn_hidden, d, d * cfg.ffn_hidden * it, it) > 0
         # fused backward kernels (rms_qkv3 + the two swiglu rms_matmuls)
-        and _pick_bm_bwd(m, d, d + 2 * kvd, (d * d + 2 * d * kvd) * it,
+        and _pick_bm_replay(m, d, d + 2 * kvd, (d * d + 2 * d * kvd) * it,
                          it) > 0
-        and _pick_bm_bwd(m, d, cfg.ffn_hidden, d * cfg.ffn_hidden * it,
+        and _pick_bm_replay(m, d, cfg.ffn_hidden, d * cfg.ffn_hidden * it,
                          it) > 0
     )
