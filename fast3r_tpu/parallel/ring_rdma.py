@@ -113,13 +113,18 @@ def _release_descriptor(cap_buf, cap_send, cap_recv, slot, target):
 
 
 def _ring_fwd_kernel(q_ref, k_ref, v_ref,
-                     o_ref, lse_ref,
-                     comm_k, comm_v, kv_vmem_k, kv_vmem_v, cap_buf,
-                     acc_hbm, m_hbm, acc_vmem, m_vmem,
+                     o_ref, lse_ref, comm_k, comm_v, cap_buf,
+                     acc_hbm, m_hbm,
+                     kv_vmem_k, kv_vmem_v, acc_vmem, m_vmem,
                      local_sem, recv_sem, send_sem, copy_sem,
                      cap_send, cap_recv, state_sem,
                      *, scale: float, n: int, nd: int, bk: int, bq: int,
-                     axis_name: str):
+                     d: int, axis_name: str):
+    # comm/state buffers are HBM OUTPUTS, not scratch: Mosaic only allocates
+    # scratch in vmem/smem/semaphore_mem (caught on hardware, r3) — and HBM
+    # output refs are the standard pallas-distributed comm-buffer idiom
+    # anyway (every device allocates the same outputs, so remote copies may
+    # target them symmetrically).
     s = pl.program_id(0)
     bh = pl.program_id(1)
     qi = pl.program_id(2)
@@ -166,8 +171,12 @@ def _ring_fwd_kernel(q_ref, k_ref, v_ref,
                 _hop(comm_k, comm_v, s + 1, right, send_sem, recv_sem)
 
     # ---- attention for shard s against this (head, q-block) -----------
-    q = q_ref[0]  # (bq, D)
-    d = q.shape[-1]
+    # q/k/v arrive LANE-PADDED to W = d + _ones_width(d): manual DMA slices
+    # of HBM scratch require a 128-aligned minor dim (Mosaic rejects D=64 —
+    # caught on hardware, r3).  K and Q pad with zeros (contraction
+    # unaffected); V's pad lanes carry the ONES extension the MXU row-sum
+    # trick needs anyway, so the kernel consumes v_ext directly.
+    q = q_ref[0]  # (bq, W)
 
     def get_tile(buf, ki):
         return (
@@ -222,7 +231,7 @@ def _ring_fwd_kernel(q_ref, k_ref, v_ref,
         cv_.wait()
 
         k = kv_vmem_k[buf]
-        v = kv_vmem_v[buf]
+        v_ext = kv_vmem_v[buf]  # ones-extended in the pad lanes (wrapper)
         # log2-domain scores (exp2 trick, ops/flash_attention.py LOG2E note)
         s_ = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -230,12 +239,9 @@ def _ring_fwd_kernel(q_ref, k_ref, v_ref,
         mp = m_c[:, :1]
         m_new = jnp.maximum(mp, jnp.max(s_, axis=-1, keepdims=True))
         alpha = jnp.exp2(mp - m_new)
-        p = jnp.exp2(s_ - m_new).astype(v.dtype)
-        # row-sum on the MXU via the ones-extended v: l rides the idle PV
-        # output lanes and shares acc's alpha rescale (flash_attention.py
-        # _fwd_kernel docstring)
-        v_ext = jnp.concatenate(
-            [v, jnp.ones((v.shape[0], _ones_width(d)), v.dtype)], axis=-1)
+        p = jnp.exp2(s_ - m_new).astype(v_ext.dtype)
+        # row-sum on the MXU: l rides the PV matmul's ones lanes
+        # (flash_attention.py _fwd_kernel docstring)
         acc_c = acc_c * alpha + jax.lax.dot_general(
             p, v_ext, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -259,7 +265,7 @@ def _ring_fwd_kernel(q_ref, k_ref, v_ref,
 
     @pl.when(s == n - 1)
     def _finish():
-        l = acc_fin[:, d:d + 1]
+        l = acc_fin[:, d:d + 1]  # first ones lane
         o_ref[0] = (acc_fin[:, :d] / l).astype(o_ref.dtype)
         lse_ref[0] = (m_fin[:, :1] + jnp.log2(l)) * LN2  # natural-log
 
@@ -307,42 +313,49 @@ def ring_flash_attention_rdma(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         assert axis_size == 1, "self-ring is a single-device mode"
         n = self_ring_epochs
     B, S_loc, H, D = q.shape
-    qt = jnp.swapaxes(q, 1, 2).reshape(B * H, S_loc, D)
-    kt = jnp.swapaxes(k, 1, 2).reshape(B * H, S_loc, D)
-    vt = jnp.swapaxes(v, 1, 2).reshape(B * H, S_loc, D)
+    ow = _ones_width(D)
+    W = D + ow  # lane-padded width (128-aligned; kernel docstring)
+    zpad = ((0, 0), (0, 0), (0, ow))
+    qt = jnp.pad(jnp.swapaxes(q, 1, 2).reshape(B * H, S_loc, D), zpad)
+    kt = jnp.pad(jnp.swapaxes(k, 1, 2).reshape(B * H, S_loc, D), zpad)
+    vt = jnp.pad(jnp.swapaxes(v, 1, 2).reshape(B * H, S_loc, D), zpad,
+                 constant_values=1)  # ones lanes = in-matmul row sum
 
     bq = _pick_block(S_loc, MAX_BLOCK_Q)
     bk = _pick_block(S_loc, MAX_BLOCK_KV)
     assert bq and bk, f"S_loc={S_loc} not tileable for the RDMA ring"
     BH = B * H
-    ow = _ones_width(D)
 
-    o, lse = pl.pallas_call(
+    hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    o, lse, *_ = pl.pallas_call(
         functools.partial(_ring_fwd_kernel, scale=float(scale), n=n,
-                          nd=axis_size, bk=bk, bq=bq, axis_name=axis_name),
+                          nd=axis_size, bk=bk, bq=bq, d=D,
+                          axis_name=axis_name),
         grid=(n, BH, S_loc // bq),
         in_specs=[
-            pl.BlockSpec((1, bq, D), lambda s, bh, qi: (bh, qi, 0)),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec((1, bq, W), lambda s, bh, qi: (bh, qi, 0)),
+            hbm,
+            hbm,
         ],
         out_specs=[
             pl.BlockSpec((1, bq, D), lambda s, bh, qi: (bh, qi, 0)),
             pl.BlockSpec((1, bq, 1), lambda s, bh, qi: (bh, qi, 0)),
+            hbm, hbm, hbm, hbm, hbm,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, S_loc, D), q.dtype),
             jax.ShapeDtypeStruct((BH, S_loc, 1), jnp.float32),
+            # HBM comm/state buffers (kernel docstring); discarded by caller
+            jax.ShapeDtypeStruct((NSLOTS, BH, S_loc, W), kt.dtype),  # comm_k
+            jax.ShapeDtypeStruct((NSLOTS, BH, S_loc, W), vt.dtype),  # comm_v
+            jax.ShapeDtypeStruct((NSLOTS, 8, 128), jnp.int8),  # cap tokens
+            jax.ShapeDtypeStruct((BH, S_loc, W), jnp.float32),  # acc|l state
+            jax.ShapeDtypeStruct((BH, S_loc, 128), jnp.float32),  # m state
         ],
         scratch_shapes=[
-            pltpu.HBM((NSLOTS, BH, S_loc, D), kt.dtype),   # comm_k
-            pltpu.HBM((NSLOTS, BH, S_loc, D), vt.dtype),   # comm_v
-            pltpu.VMEM((2, bk, D), kt.dtype),              # kv tile dbl buf
-            pltpu.VMEM((2, bk, D), vt.dtype),
-            pltpu.HBM((NSLOTS, 8, 128), jnp.int8),         # capacity tokens
-            pltpu.HBM((BH, S_loc, D + ow), jnp.float32),   # acc|l state
-            pltpu.HBM((BH, S_loc, 128), jnp.float32),      # m state
-            pltpu.VMEM((bq, D + ow), jnp.float32),
+            pltpu.VMEM((2, bk, W), kt.dtype),              # kv tile dbl buf
+            pltpu.VMEM((2, bk, W), vt.dtype),
+            pltpu.VMEM((bq, W), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),                 # local copy
             pltpu.SemaphoreType.DMA((2 * NSLOTS,)),        # recv per slot,k/v
@@ -352,9 +365,11 @@ def ring_flash_attention_rdma(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pltpu.SemaphoreType.DMA((NSLOTS,)),            # capacity recv
             pltpu.SemaphoreType.DMA((2,)),                 # state copies
         ],
+        # no collective_id: it is only legal alongside a custom barrier
+        # semaphore (get_barrier_semaphore), which this kernel does not use —
+        # Mosaic rejects it otherwise (caught on hardware, r3)
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
-            collective_id=7,
         ),
         interpret=_interpret(),
     )(qt, kt, vt)
