@@ -144,10 +144,14 @@ def main_staged(args):
         @jax.jit
         def run(p, x):
             sliced = jax.tree.map(lambda t: t[a:b], p["decoder"]["blocks"])
+            # fused=True is LOAD-BEARING at 512-res: the plain path's packed
+            # (S, 3, H, 64) qkv intermediate carries a 2x lane-padding
+            # expansion (64 -> 128 minor dim) = 8.8 GB at S=768k and OOMs
+            # the 16 GB chip (caught on hardware, r3)
             x, _ = run_vit_stack(
                 sliced, x, dcfg.num_heads, dcfg.attn_scale(False),
                 attn_impl=dcfg.attn_impl, ln_eps=dcfg.block_ln_eps,
-                depth=b - a,
+                depth=b - a, fused=True,
             )
             return x
         return run
