@@ -107,8 +107,9 @@ def _pick_block(s: int, max_block: int) -> int:
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr,
-                *, scale: float, kv_steps: int, d: int, split: int = 1):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
+                scale: float, kv_steps: int, d: int, split: int = 1,
+                want_lse: bool = True):
     """Online-softmax forward step with the row-sum folded into the PV matmul.
 
     At D < 128 the PV contraction's output uses only D of the MXU's 128
@@ -128,6 +129,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr,
     single online chain serializes (m_new couples every element).
     """
     kv = pl.program_id(3)
+    if want_lse:
+        lse_ref, m_scr, acc_scr = refs
+    else:
+        # inference drops the lse output: at S=768k (the 512-res 1000-view
+        # pass) a (B, H, S, 1) fp32 output pads 128x in the lane dim —
+        # 6.3 GB of HBM for a buffer nobody reads (caught on hardware, r3)
+        m_scr, acc_scr = refs
 
     @pl.when(kv == 0)
     def _init():
@@ -171,12 +179,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr,
     def _finish():
         l = acc_scr[:, d:d + 1]
         o_ref[0, 0] = (acc_scr[:, :d] / l).astype(o_ref.dtype)
-        # natural-log lse at the interface
-        lse_ref[0, 0] = (m_scr[:, :1] + jnp.log2(l)) * LN2
+        if want_lse:
+            # natural-log lse at the interface
+            lse_ref[0, 0] = (m_scr[:, :1] + jnp.log2(l)) * LN2
 
 
-def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
-                       inner: int, hc: int):
+def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, *refs, scale: float,
+                       inner: int, hc: int, want_lse: bool = True):
     """Whole-sequence-in-VMEM variant for short sequences: each program owns
     a (bb, hc, S, D) block and runs the bb*hc independent head-attentions in
     an inner fori_loop over one reused score tile.  Motivation (r2
@@ -209,7 +218,8 @@ def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
         )
         l = acc[:, d:d + 1]
         o_ref[bi, hj] = (acc[:, :d] / l).astype(o_ref.dtype)
-        lse_ref[bi, hj] = (m + jnp.log2(l)) * LN2
+        if want_lse:
+            refs[0][bi, hj] = (m + jnp.log2(l)) * LN2
         return 0
 
     jax.lax.fori_loop(0, inner, body, 0)
@@ -245,37 +255,36 @@ def _pick_single_blocks(b: int, h: int, s: int, skv: int, d: int,
     return best
 
 
-def _flash_forward_single(q, k, v, scale):
+def _flash_forward_single(q, k, v, scale, want_lse=True):
     B, H, S, D = q.shape
     Skv = k.shape[2]
     bb, hc = _pick_single_blocks(B, H, S, Skv, D, q.dtype.itemsize)
-    o, lse = pl.pallas_call(
+    out_specs = [pl.BlockSpec((bb, hc, S, D), lambda b, h: (b, h, 0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((B, H, S, D), q.dtype)]
+    if want_lse:
+        out_specs.append(pl.BlockSpec((bb, hc, S, 1), lambda b, h: (b, h, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((B, H, S, 1), jnp.float32))
+    outs = pl.pallas_call(
         functools.partial(_fwd_single_kernel, scale=scale, inner=bb * hc,
-                          hc=hc),
+                          hc=hc, want_lse=want_lse),
         grid=(B // bb, H // hc),
         in_specs=[
             pl.BlockSpec((bb, hc, S, D), lambda b, h: (b, h, 0, 0)),
             pl.BlockSpec((bb, hc, Skv, D), lambda b, h: (b, h, 0, 0)),
             pl.BlockSpec((bb, hc, Skv, D), lambda b, h: (b, h, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((bb, hc, S, D), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((bb, hc, S, 1), lambda b, h: (b, h, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, S, 1), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=_interpret(),
     )(q, k, v)
-    return o, lse
+    return (outs[0], outs[1]) if want_lse else (outs[0], None)
 
 
 def _flash_forward(q, k, v, scale, bq, bk,
-                   split=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                   split=None, want_lse=True) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """split=None is the production auto mode: consider the whole-sequence
     single kernel first, then the tiled kernel with an auto-picked
     partial-softmax sub-chain count (a single chain at bk=3840 is a 15.7 MB
@@ -295,26 +304,26 @@ def _flash_forward(q, k, v, scale, bq, bk,
     B, H, S, D = q.shape
     Skv = k.shape[2]
     if auto and _pick_single_blocks(B, H, S, Skv, D, q.dtype.itemsize)[0]:
-        return _flash_forward_single(q, k, v, scale)
+        return _flash_forward_single(q, k, v, scale, want_lse=want_lse)
     grid = (B, H, S // bq, Skv // bk)
 
-    o, lse = pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0))]
+    out_shape = [jax.ShapeDtypeStruct((B, H, S, D), q.dtype)]
+    if want_lse:
+        out_specs.append(
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, qi, ki: (b, h, qi, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((B, H, S, 1), jnp.float32))
+    outs = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, kv_steps=Skv // bk,
-                          d=D, split=split),
+                          d=D, split=split, want_lse=want_lse),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0)),
             pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h, ki, 0)),
             pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h, ki, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, bq, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, S, 1), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, D + _ones_width(D)), jnp.float32),
@@ -325,7 +334,7 @@ def _flash_forward(q, k, v, scale, bq, bk,
         ),
         interpret=_interpret(),
     )(q, k, v)
-    return o, lse
+    return (outs[0], outs[1]) if want_lse else (outs[0], None)
 
 
 # ---------------------------------------------------------------------------
@@ -493,7 +502,10 @@ def _flash_backward(q, k, v, o, lse, do, scale, bq, bk, dlse=None):
 def _flash_bhsd(q, k, v, scale):
     bq = _pick_block(q.shape[2], MAX_BLOCK_Q)
     bk = _pick_block(k.shape[2], MAX_BLOCK_KV)
-    o, _ = _flash_forward(q, k, v, scale, bq, bk)
+    # primal (no-grad) path: skip the lse output entirely (want_lse
+    # docstring in _fwd_kernel) — under jax.grad the vjp fwd below runs
+    # instead and keeps it
+    o, _ = _flash_forward(q, k, v, scale, bq, bk, want_lse=False)
     return o
 
 

@@ -140,6 +140,23 @@ def main_staged(args):
         table = jnp.asarray(image_idx_table(dcfg.embed_dim), dtype=x.dtype)
         return x + table[ids]
 
+    def head_grouped_flash(q, k, v, scale, groups=4):
+        """Flash attention over head groups via lax.map: at S=768k the full
+        (B, H, S, 64) q/k/v/o transposes each pad 2x in the lane dim
+        (64 -> 128) = 2.9 GB apiece; grouping bounds the live transposed set
+        to H/groups heads at a time (caught on hardware, r3)."""
+        from fast3r_tpu.ops.flash_attention import flash_attention
+
+        B, S, H, D = q.shape
+        hg = H // groups
+
+        def body(g):
+            sl = lambda t: jax.lax.dynamic_slice_in_dim(t, g * hg, hg, axis=2)
+            return flash_attention(sl(q), sl(k), sl(v), scale)
+
+        outs = jax.lax.map(body, jnp.arange(groups))  # (G, B, S, hg, D)
+        return jnp.moveaxis(outs, 0, 2).reshape(B, S, H, D)
+
     def make_segment(a, b):
         @jax.jit
         def run(p, x):
@@ -150,7 +167,7 @@ def main_staged(args):
             # the 16 GB chip (caught on hardware, r3)
             x, _ = run_vit_stack(
                 sliced, x, dcfg.num_heads, dcfg.attn_scale(False),
-                attn_impl=dcfg.attn_impl, ln_eps=dcfg.block_ln_eps,
+                attn_impl=head_grouped_flash, ln_eps=dcfg.block_ln_eps,
                 depth=b - a, fused=True,
             )
             return x
