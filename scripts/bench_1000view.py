@@ -125,7 +125,12 @@ def main_staged(args):
         np.random.default_rng(0).standard_normal((V, H, W, 3)), jnp.bfloat16
     )
 
-    ec = max(d for d in range(1, min(args.encoder_chunk, V) + 1)
+    # Cap the encoder dispatch by TOKENS, not views: 500 views x 192 tok
+    # (256-res) is the proven-fit working set; at 512-res (768 tok/view) a
+    # 500-view chunk compiles to a 22.5 GB encoder program (RoPE rotate-half
+    # temporaries pad 4x in the 32-lane minor dim — caught on hardware, r3).
+    ec_cap = max(1, 96000 // P)
+    ec = max(d for d in range(1, min(args.encoder_chunk, ec_cap, V) + 1)
              if V % d == 0)
 
     @jax.jit
@@ -157,23 +162,32 @@ def main_staged(args):
         outs = jax.lax.map(body, jnp.arange(groups))  # (G, B, S, hg, D)
         return jnp.moveaxis(outs, 0, 2).reshape(B, S, H, D)
 
-    def make_segment(a, b):
-        @jax.jit
-        def run(p, x):
-            sliced = jax.tree.map(lambda t: t[a:b], p["decoder"]["blocks"])
-            # fused=True is LOAD-BEARING at 512-res: the plain path's packed
-            # (S, 3, H, 64) qkv intermediate carries a 2x lane-padding
-            # expansion (64 -> 128 minor dim) = 8.8 GB at S=768k and OOMs
-            # the 16 GB chip (caught on hardware, r3)
-            x, _ = run_vit_stack(
-                sliced, x, dcfg.num_heads, dcfg.attn_scale(False),
-                attn_impl=head_grouped_flash, ln_eps=dcfg.block_ln_eps,
-                depth=b - a, fused=True,
-            )
-            return x
-        return run
+    # ONE jitted program per distinct segment LENGTH (the sliced block params
+    # are an argument, not a closure) — with seg | gaps-between-hooks all
+    # segments share a single remote compile instead of paying the
+    # minutes-long compile 8-12 times for identical HLO.
+    seg_cache = {}
 
-    seg_fns = {(a, b): make_segment(a, b) for a, b in segments}
+    def get_segment_fn(length):
+        if length not in seg_cache:
+            @jax.jit
+            def run(blocks, x):
+                # fused=True is LOAD-BEARING at 512-res: the plain path's
+                # packed (S, 3, H, 64) qkv intermediate carries a 2x
+                # lane-padding expansion (64 -> 128 minor dim) = 8.8 GB at
+                # S=768k and OOMs the 16 GB chip (caught on hardware, r3)
+                x, _ = run_vit_stack(
+                    blocks, x, dcfg.num_heads, dcfg.attn_scale(False),
+                    attn_impl=head_grouped_flash, ln_eps=dcfg.block_ln_eps,
+                    depth=length, fused=True,
+                )
+                return x
+            seg_cache[length] = run
+        return seg_cache[length]
+
+    def run_segment(a, b, x):
+        sliced = jax.tree.map(lambda t: t[a:b], params["decoder"]["blocks"])
+        return get_segment_fn(b - a)(sliced, x)
 
     @jax.jit
     def final_norm(p, x):
@@ -210,7 +224,7 @@ def main_staged(args):
             hooks[0] = fused
             x = sync(embed(params, fused))
         for a, b in segments:
-            x = sync(seg_fns[(a, b)](params, x))
+            x = sync(run_segment(a, b, x))
             if b in dcfg.hooks and b != dcfg.depth:
                 hooks[b] = to_host(x) if args.host_hooks else x
         hooks[dcfg.depth] = (to_host(final_norm(params, x))
