@@ -1,0 +1,234 @@
+"""Single-program manual-DMA attention for many small independent heads.
+
+The encoder's per-view attention (reference blocks.py:135-194 under the
+per-image CroCo encoder, fast3r.py:499-559) is B*H independent little
+attentions (flagship: 20 views x 16 heads at S=768, D=64).  Neither existing
+path fits this shape well (r2 measurements, BENCHMARKS.md "Failed
+experiment"):
+
+  * XLA materializes the (B, H, S, S) logits in HBM — ~0.38 GB bf16 per
+    encoder layer, the whole path HBM-bound at ~1.7 ms/layer;
+  * a pallas_call grid over (B, H) pays a ~12 us/program fixed cost
+    (pipeline entry/exit bubbles around 1.6 us of MXU work per head), and
+    Mosaic's auto-pipelining double-buffers whole (bb, hc, S, D) blocks, so
+    VMEM caps per-program batching at bb*hc <= 2.
+
+This kernel runs ONE pallas program for the whole batch and does its own
+pipelining (the r3 answer to both problems):
+
+  * q/k/v stay in HBM (memory_space=HBM in_specs); per-head (S, 128) tiles
+    are streamed into an NSLOTS-deep VMEM ring with pltpu.make_async_copy,
+    the fetch for head u+NSLOTS-1 issued at the top of head u's compute —
+    per-head overhead is one DMA wait, not a program launch;
+  * heads are lane-PADDED to 128 (manual-DMA slices of HBM need a
+    128-aligned minor dim — Mosaic rejects D=64, caught on hardware in the
+    r3 ring-kernel bring-up).  Q/K pad with zeros: the QK^T contraction is
+    then a FULL-depth 128 MXU pass whose extra flops are zeros (same
+    wall-clock as the half-depth D=64 contraction).  V's pad lanes carry the
+    ONES extension, so the PV matmul's idle output lanes accumulate the
+    softmax row-sum (ops/flash_attention.py MXU-row-sum trick);
+  * whole rows fit VMEM at S<=1024, so softmax is single-pass per head — no
+    online state.  The kv axis is still split into SPLIT independent
+    partial-softmax sub-chains (local max + exp2-weighted merge): sub-chain
+    j+1's QK matmul (MXU) overlaps sub-chain j's exp2 passes (VPU), which a
+    single chain serializes (same rationale as _fwd_kernel's split).
+
+Forward-only: under jax.grad the custom VJP recomputes through the naive
+fp32-logits path (the kernel keeps fp32 logits too, so gradients are
+consistent at bf16 rounding; encoder training remats the forward anyway).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fast3r_tpu.ops.flash_attention import LOG2E, _interpret
+
+NSLOTS = 3
+SPLIT = 2
+LANE = 128
+MAX_SEQ = 1024  # whole-row single-pass softmax must fit VMEM
+VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _vmem_estimate(n: int, itemsize: int) -> int:
+    """Live-set model: slot ring (q/k/v/o tiles) + the two sub-chains' score
+    tiles (fp32 s + input-dtype p) + the fp32 accumulator."""
+    tiles = NSLOTS * 4 * n * LANE * itemsize
+    scores = n * (n // SPLIT) * (4 + itemsize) * SPLIT
+    acc = n * LANE * 4 + 2 * n * LANE * itemsize
+    return tiles + scores + acc
+
+
+def batched_attention_supported(q_shape, dtype) -> bool:
+    B, N, H, D = q_shape
+    itemsize = jnp.dtype(dtype).itemsize
+    sub = 16 if itemsize == 2 else 8
+    return (
+        D <= LANE
+        and N <= MAX_SEQ
+        and N % (sub * SPLIT) == 0
+        and B * H >= NSLOTS
+        and _vmem_estimate(N, itemsize) <= VMEM_BUDGET
+    )
+
+
+def _batched_kernel(q_hbm, k_hbm, v_hbm, o_hbm,
+                    qkv_vmem, o_vmem, in_sem, out_sem,
+                    *, nu: int, n: int, d: int, scale: float):
+    """One program; fori_loop over the NU = B*H head units.
+
+    Slot schedule (ring of NSLOTS): at the top of iteration u the fetch for
+    unit u + NSLOTS - 1 is issued into slot (u + NSLOTS - 1) % NSLOTS — that
+    slot's previous occupant (unit u - 1) was consumed last iteration, so
+    program order alone makes the overwrite safe (the guide's double-buffer
+    pattern, NSLOTS deep).  o_vmem reuse is guarded by waiting unit
+    u - NSLOTS's output DMA before overwriting its slot.
+    """
+
+    def in_dmas(slot, u):
+        return (
+            pltpu.make_async_copy(q_hbm.at[u], qkv_vmem.at[slot, 0],
+                                  in_sem.at[slot, 0]),
+            pltpu.make_async_copy(k_hbm.at[u], qkv_vmem.at[slot, 1],
+                                  in_sem.at[slot, 1]),
+            pltpu.make_async_copy(v_hbm.at[u], qkv_vmem.at[slot, 2],
+                                  in_sem.at[slot, 2]),
+        )
+
+    def out_dma(slot, u):
+        return pltpu.make_async_copy(o_vmem.at[slot], o_hbm.at[u],
+                                     out_sem.at[slot])
+
+    # warm-up: units 0 .. NSLOTS-2 (unit u+NSLOTS-1 is fetched inside iter u)
+    for u in range(NSLOTS - 1):
+        for dma in in_dmas(u % NSLOTS, u):
+            dma.start()
+
+    sub = n // SPLIT
+
+    def body(u, _):
+        slot = jax.lax.rem(u, NSLOTS)
+
+        pre = u + NSLOTS - 1
+
+        @pl.when(pre < nu)
+        def _prefetch():
+            for dma in in_dmas(jax.lax.rem(pre, NSLOTS), pre):
+                dma.start()
+
+        for dma in in_dmas(slot, u):
+            dma.wait()
+
+        @pl.when(u >= NSLOTS)
+        def _reclaim():
+            out_dma(slot, u - NSLOTS).wait()
+
+        q = qkv_vmem[slot, 0]  # (N, 128); lanes d: are zero
+        parts = []
+        for j in range(SPLIT):
+            k = qkv_vmem[slot, 1, j * sub:(j + 1) * sub]
+            v = qkv_vmem[slot, 2, j * sub:(j + 1) * sub]  # pad lanes = ones
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (scale * LOG2E)  # (N, sub), log2 domain
+            m_j = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m_j).astype(v.dtype)
+            acc_j = jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (N, 128): [:, :d] = p@v, [:, d:] = row-sum l
+            parts.append((m_j, acc_j))
+
+        m = parts[0][0]
+        for m_j, _ in parts[1:]:
+            m = jnp.maximum(m, m_j)
+        acc = parts[0][1] * jnp.exp2(parts[0][0] - m)
+        for m_j, acc_j in parts[1:]:
+            acc = acc + acc_j * jnp.exp2(m_j - m)
+
+        # divide ALL lanes by l (pad lanes become 1.0; wrapper slices [:d])
+        o_vmem[slot] = (acc / acc[:, d:d + 1]).astype(o_vmem.dtype)
+        out_dma(slot, u).start()
+        return 0
+
+    jax.lax.fori_loop(0, nu, body, 0)
+
+    for i in range(min(NSLOTS, nu)):
+        u = nu - 1 - i
+        out_dma(u % NSLOTS, u).wait()
+
+
+def _run_kernel(qt, kt, vt, scale, d):
+    NU, N, _ = qt.shape
+    return pl.pallas_call(
+        functools.partial(_batched_kernel, nu=NU, n=N, d=d,
+                          scale=float(scale)),
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        out_shape=jax.ShapeDtypeStruct((NU, N, LANE), qt.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((NSLOTS, 3, N, LANE), qt.dtype),
+            pltpu.VMEM((NSLOTS, N, LANE), qt.dtype),
+            pltpu.SemaphoreType.DMA((NSLOTS, 3)),
+            pltpu.SemaphoreType.DMA((NSLOTS,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(qt, kt, vt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _batched_bnhd(q, k, v, scale):
+    B, N, H, D = q.shape
+    ow = LANE - D
+    pad = ((0, 0), (0, 0), (0, ow))
+
+    def to_units(x, cval):
+        t = jnp.swapaxes(x, 1, 2).reshape(B * H, N, D)
+        return jnp.pad(t, pad, constant_values=cval)
+
+    o = _run_kernel(to_units(q, 0), to_units(k, 0), to_units(v, 1), scale, D)
+    o = o[:, :, :D].reshape(B, H, N, D)
+    return jnp.swapaxes(o, 1, 2)
+
+
+def _batched_bnhd_fwd(q, k, v, scale):
+    return _batched_bnhd(q, k, v, scale), (q, k, v)
+
+
+def _naive_reference(q, k, v, scale):
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * jnp.float32(scale)
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", w, v)
+
+
+def _batched_bnhd_bwd(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _naive_reference(q_, k_, v_, scale),
+                     q, k, v)
+    return vjp(g)
+
+
+_batched_bnhd.defvjp(_batched_bnhd_fwd, _batched_bnhd_bwd)
+
+
+def batched_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                      scale: float) -> jnp.ndarray:
+    """Many-small-heads attention over (B, N, H, D); self-attention only
+    (N_q == N_kv).  Falls back to the XLA path for unsupported shapes."""
+    if q.shape != k.shape or not batched_attention_supported(q.shape, q.dtype):
+        from fast3r_tpu.ops.attention import dot_product_attention
+
+        return dot_product_attention(q, k, v, scale, impl="xla")
+    return _batched_bnhd(q, k, v, float(scale))

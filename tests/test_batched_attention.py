@@ -1,0 +1,91 @@
+"""Parity tests for the single-program batched attention kernel
+(ops/batched_attention.py) against the naive fp32 reference, interpret mode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast3r_tpu.ops.attention import dot_product_attention
+from fast3r_tpu.ops.batched_attention import (
+    batched_attention,
+    batched_attention_supported,
+)
+
+
+def _mk(key, shape, dtype):
+    return jax.random.normal(key, shape, jnp.float32).astype(dtype)
+
+
+@pytest.mark.parametrize("shape", [(3, 256, 4, 64), (2, 768, 8, 64),
+                                   (1, 64, 3, 64)])
+def test_parity_fp32(shape):
+    ks = jax.random.split(jax.random.key(0), 3)
+    q, k, v = (_mk(x, shape, jnp.float32) for x in ks)
+    scale = shape[-1] ** -0.5
+    ref = dot_product_attention(q, k, v, scale, impl="naive")
+    out = batched_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_parity_bf16_encoder_shape():
+    """The production encoder shape at reduced batch: 4 views x 16 heads."""
+    shape = (4, 768, 16, 64)
+    ks = jax.random.split(jax.random.key(1), 3)
+    q, k, v = (_mk(x, shape, jnp.bfloat16) for x in ks)
+    scale = 0.125
+    assert batched_attention_supported(shape, jnp.bfloat16)
+    ref = dot_product_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        scale, impl="naive")
+    out = batched_attention(q, k, v, scale)
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref))
+    assert err.max() < 0.02, err.max()  # bf16 rounding scale
+
+
+def test_entropy_scale_passthrough():
+    """Non-default softmax scale (the inference entropy bias) is honored."""
+    shape = (2, 128, 4, 64)
+    ks = jax.random.split(jax.random.key(2), 3)
+    q, k, v = (_mk(x, shape, jnp.float32) for x in ks)
+    scale = 0.125 * np.sqrt(np.log(137.0) / np.log(20.0))
+    ref = dot_product_attention(q, k, v, scale, impl="naive")
+    out = batched_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_unsupported_shapes_fall_back():
+    # N % 32 != 0 (224-res: 196 patches) and cross-attention both fall back
+    shape = (2, 196, 4, 64)
+    ks = jax.random.split(jax.random.key(3), 3)
+    q, k, v = (_mk(x, shape, jnp.float32) for x in ks)
+    assert not batched_attention_supported(shape, jnp.float32)
+    ref = dot_product_attention(q, k, v, 0.125, impl="xla")
+    out = batched_attention(q, k, v, 0.125)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    kv = _mk(ks[1], (2, 256, 4, 64), jnp.float32)
+    out2 = batched_attention(q, kv, kv, 0.125)
+    ref2 = dot_product_attention(q, kv, kv, 0.125, impl="xla")
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=1e-6)
+
+
+def test_gradients_match_naive():
+    shape = (2, 64, 4, 64)
+    ks = jax.random.split(jax.random.key(4), 3)
+    q, k, v = (_mk(x, shape, jnp.float32) for x in ks)
+
+    def loss_kernel(q, k, v):
+        return (batched_attention(q, k, v, 0.125) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (dot_product_attention(q, k, v, 0.125, impl="naive") ** 2).sum()
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
