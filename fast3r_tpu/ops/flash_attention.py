@@ -108,7 +108,7 @@ def _pick_block(s: int, max_block: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
-                scale: float, kv_steps: int, d: int, split: int = 1,
+                kv_steps: int, d: int, split: int = 1,
                 want_lse: bool = True):
     """Online-softmax forward step with the row-sum folded into the PV matmul.
 
@@ -152,9 +152,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
     for j in range(split):
         k = k_ref[0, 0, j * sub:(j + 1) * sub]
         v = v_ref[0, 0, j * sub:(j + 1) * sub]
+        # q arrives PRE-SCALED by scale*log2(e) (wrapper): scores come off
+        # the MXU already in the log2 domain, saving a full VPU multiply
+        # pass over the (bq, sub) tile per kv step
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (scale * LOG2E)  # (bq, sub) fp32
+        )  # (bq, sub) fp32, log2 domain
         m_j = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2(s - m_j).astype(v.dtype)
         v_ext = jnp.concatenate([v, ones], axis=-1)
@@ -184,7 +187,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
             lse_ref[0, 0] = (m_scr[:, :1] + jnp.log2(l)) * LN2
 
 
-def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, *refs, scale: float,
+def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
                        inner: int, hc: int, want_lse: bool = True):
     """Whole-sequence-in-VMEM variant for short sequences: each program owns
     a (bb, hc, S, D) block and runs the bb*hc independent head-attentions in
@@ -206,7 +209,7 @@ def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, *refs, scale: float,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * (scale * LOG2E)  # (S, Skv), log2 domain (exp2 trick)
+        )  # (S, Skv), log2 domain (q pre-scaled by scale*log2e, wrapper)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2(s - m).astype(v.dtype)
         # row-sum on the MXU via the ones-extended v (_fwd_kernel docstring)
@@ -256,6 +259,7 @@ def _pick_single_blocks(b: int, h: int, s: int, skv: int, d: int,
 
 
 def _flash_forward_single(q, k, v, scale, want_lse=True):
+    """q must arrive PRE-SCALED by scale*log2(e) (see _flash_forward)."""
     B, H, S, D = q.shape
     Skv = k.shape[2]
     bb, hc = _pick_single_blocks(B, H, S, Skv, D, q.dtype.itemsize)
@@ -265,7 +269,7 @@ def _flash_forward_single(q, k, v, scale, want_lse=True):
         out_specs.append(pl.BlockSpec((bb, hc, S, 1), lambda b, h: (b, h, 0, 0)))
         out_shape.append(jax.ShapeDtypeStruct((B, H, S, 1), jnp.float32))
     outs = pl.pallas_call(
-        functools.partial(_fwd_single_kernel, scale=scale, inner=bb * hc,
+        functools.partial(_fwd_single_kernel, inner=bb * hc,
                           hc=hc, want_lse=want_lse),
         grid=(B // bb, H // hc),
         in_specs=[
@@ -303,6 +307,12 @@ def _flash_forward(q, k, v, scale, bq, bk,
             "sub-blocks")
     B, H, S, D = q.shape
     Skv = k.shape[2]
+    # pre-scale q by scale*log2(e): scores come off the MXU already in the
+    # log2 domain, removing a VPU multiply pass over every score tile.  For
+    # bf16 inputs this rounds q once more (~2^-9 relative on logits — the
+    # same order as the bf16 input rounding itself); backward still
+    # recomputes from the ORIGINAL q with the in-kernel multiply.
+    q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
     if auto and _pick_single_blocks(B, H, S, Skv, D, q.dtype.itemsize)[0]:
         return _flash_forward_single(q, k, v, scale, want_lse=want_lse)
     grid = (B, H, S // bq, Skv // bk)
@@ -314,7 +324,7 @@ def _flash_forward(q, k, v, scale, bq, bk,
             pl.BlockSpec((1, 1, bq, 1), lambda b, h, qi, ki: (b, h, qi, 0)))
         out_shape.append(jax.ShapeDtypeStruct((B, H, S, 1), jnp.float32))
     outs = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, kv_steps=Skv // bk,
+        functools.partial(_fwd_kernel, kv_steps=Skv // bk,
                           d=D, split=split, want_lse=want_lse),
         grid=grid,
         in_specs=[
