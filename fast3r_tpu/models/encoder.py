@@ -47,7 +47,11 @@ class EncoderConfig:
     depth: int = 24
     mlp_ratio: float = 4.0
     rope_base: float = 100.0  # pos_embed="RoPE100"
-    attn_impl: str = "xla"
+    # "batched" = the single-program manual-DMA kernel for the per-view
+    # heads (ops/batched_attention.py) — beats XLA's HBM-materializing
+    # attention in the fused stack on TPU (0.1119 vs 0.124 s/24-block stack,
+    # r3); dispatches to "xla" off-TPU and for untileable shapes
+    attn_impl: str = "batched"
     ln_eps: float = 1e-6
     # run blocks with LN/GELU/residual fused into the matmul kernels on TPU
     # (nn/fused_block.py); falls back automatically off-TPU / untileable shapes

@@ -12,6 +12,12 @@ Backends here:
               lowers to an MXU-tiled flash-style loop chosen by the compiler.
   * "pallas": hand-written Pallas TPU flash-attention kernel (ops/flash_attention.py),
               used for the long-sequence fusion decoder.
+  * "batched": single-program manual-DMA kernel for many small independent
+              heads (ops/batched_attention.py) — the encoder's per-view
+              attention.  On non-TPU backends this dispatches to "xla"
+              (the kernel would run in the pallas interpreter, far too slow
+              for the CPU test suite; its numerics are gated separately by
+              tests/test_batched_attention.py).
 
 Layout: (B, N, H, D) throughout ("BNHD"), which avoids transposes around the
 qkv projections and matches jax.nn.dot_product_attention.
@@ -83,4 +89,10 @@ def dot_product_attention(
         from fast3r_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale)
+    if impl == "batched":
+        if jax.default_backend() == "tpu":
+            from fast3r_tpu.ops.batched_attention import batched_attention
+
+            return batched_attention(q, k, v, scale)
+        return dot_product_attention(q, k, v, scale, impl="xla")
     raise ValueError(f"unknown attention impl {impl!r}")
