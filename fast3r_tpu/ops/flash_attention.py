@@ -50,13 +50,16 @@ LN2 = 0.6931471805599453
 # sub-chains of <= MAX_SUB_KV columns (local max + exp2-weighted merge):
 # the decoupled chains let Mosaic overlap sub-block j+1's QK matmul with
 # sub-block j's exp2 passes, and halve the live score tile so bigger kv
-# blocks fit VMEM.  r2 sweep at S=15360: (1024,3840)x3 85.8, (1024,3072)x2
-# 84.4, (1024,1536)x1 81.7, (512,1536)x1 72.9 TFLOP/s (70.7 pre-MXU-row-sum,
-# 57.7 r1 best); (1280,3840)x3 exceeds VMEM — bq=1024 is the ceiling.
+# blocks fit VMEM.  r3 sweep (after the q-prescale removed the per-tile VPU
+# multiply, which shifted the optimum to FEWER chains) at S=15360:
+# (1024,3840)x2 90.5, (1024,3840)x3 89.9, (1024,3840)x4 70.8 TFLOP/s.
+# r2 history (pre-prescale): x3 85.8, (1024,3072)x2 84.4, (1024,1536)x1
+# 81.7, (512,1536)x1 72.9 (70.7 pre-MXU-row-sum, 57.7 r1 best);
+# (1280,3840)x3 exceeds VMEM — bq=1024 is the ceiling.
 # Backward keeps more live buffers -> smaller blocks.
 MAX_BLOCK_Q = 1024
 MAX_BLOCK_KV = 3840
-MAX_SUB_KV = 1536
+MAX_SUB_KV = 1920
 # Backward sweep r2 (S=15360, scripts/sweep_flash_bwd.py): (512,2560) 92.1
 # TFLOP/s, (1024,1536) 91.7, (512,1536) 90.1, (512,1024) 87.3, (1024,512)
 # 86.5, (512,512) 74.0 (the r1 default), (256,1024) 69.9.
