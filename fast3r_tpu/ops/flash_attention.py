@@ -363,13 +363,17 @@ def _flash_forward(q, k, v, scale, bq, bk,
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                    dq_scr, *, scale: float, kv_steps: int):
+    """q arrives PRE-SCALED by c = scale*log2(e) (wrapper): scores come off
+    the MXU in the log2 domain, and the per-tile ds*scale multiply is
+    deferred to the (bq, D) output write (ds = scale*ds0, dq = ds@k =
+    scale*(ds0@k)) — two full-score-tile VPU passes removed per kv step."""
     kv = pl.program_id(3)
 
     @pl.when(kv == 0)
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0, 0]
+    q = q_ref[0, 0]          # pre-scaled by c
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     do = do_ref[0, 0]
@@ -378,22 +382,22 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * (scale * LOG2E)
+    )  # log2 domain
     p = jnp.exp2(s - lse * LOG2E)  # (bq, bk); lse is natural-log
 
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (bq, bk)
-    ds = p * (dp - delta) * scale
+    ds0 = p * (dp - delta)
 
     dq_scr[:] += jax.lax.dot_general(
-        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        ds0.astype(k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
     @pl.when(kv == kv_steps - 1)
     def _finish():
-        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+        dq_ref[0, 0] = (dq_scr[:] * scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
@@ -406,7 +410,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0, 0]
+    q = q_ref[0, 0]  # pre-scaled by c = scale*log2(e) (_bwd_dq_kernel note)
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     do = do_ref[0, 0]
@@ -415,7 +419,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * (scale * LOG2E)
+    )  # log2 domain
     p = jnp.exp2(s - lse * LOG2E)  # (bq, bk); lse is natural-log
 
     # dv += p^T @ do
@@ -426,16 +430,16 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds = p * (dp - delta) * scale  # (bq, bk)
-    # dk += ds^T @ q
+    ds0 = p * (dp - delta)  # (bq, bk); true ds = scale * ds0
+    # dk += ds^T @ q = scale * ds0^T @ (q'/c) = LN2 * (ds0^T @ q')
     dk_scr[:] += jax.lax.dot_general(
-        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        ds0.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
     @pl.when(qi == q_steps - 1)
     def _finish():
-        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dk_ref[0, 0] = (dk_scr[:] * LN2).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
 
 
@@ -453,6 +457,9 @@ def _flash_backward(q, k, v, o, lse, do, scale, bq, bk, dlse=None):
                     keepdims=True)  # (B, H, S, 1)
     if dlse is not None:
         delta = delta - dlse.astype(jnp.float32)
+    # pre-scale q into the log2 domain (kernel docstrings); the deferred
+    # scale/LN2 factors are applied at the kernels' output writes
+    q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, kv_steps=Skv // bk),
