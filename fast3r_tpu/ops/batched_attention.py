@@ -16,10 +16,13 @@ experiment"):
 This kernel runs ONE pallas program for the whole batch and does its own
 pipelining (the r3 answer to both problems):
 
-  * q/k/v stay in HBM (memory_space=HBM in_specs); per-head (S, 128) tiles
-    are streamed into an NSLOTS-deep VMEM ring with pltpu.make_async_copy,
-    the fetch for head u+NSLOTS-1 issued at the top of head u's compute —
-    per-head overhead is one DMA wait, not a program launch;
+  * q/k/v stay in HBM (memory_space=HBM in_specs); (GROUP, S, 128) tiles of
+    GROUP heads each are streamed into an NSLOTS-deep VMEM ring with
+    pltpu.make_async_copy, the fetch for group u+NSLOTS-1 issued at the top
+    of group u's compute — per-GROUP-heads overhead is one DMA wait, not
+    GROUP program launches (grouping added r3: at ~4 us of MXU work per
+    head, the per-unit waits + loop scalar work of the one-head-per-
+    iteration version were a measurable serial tax);
   * heads are lane-PADDED to 128 (manual-DMA slices of HBM need a
     128-aligned minor dim — Mosaic rejects D=64, caught on hardware in the
     r3 ring-kernel bring-up).  Q/K pad with zeros: the QK^T contraction is
@@ -49,20 +52,31 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fast3r_tpu.ops.flash_attention import LOG2E, _interpret
 
-NSLOTS = 3
+NSLOTS = 2
 SPLIT = 2
+GROUP = 4  # head units DMA'd + computed per loop iteration (r3: amortizes
+           # the per-unit DMA waits / scalar loop overhead that dominated the
+           # one-unit-per-iteration version at ~4 us of MXU work per unit)
 LANE = 128
 MAX_SEQ = 1024  # whole-row single-pass softmax must fit VMEM
 VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _vmem_estimate(n: int, itemsize: int) -> int:
-    """Live-set model: slot ring (q/k/v/o tiles) + the two sub-chains' score
-    tiles (fp32 s + input-dtype p) + the fp32 accumulator."""
-    tiles = NSLOTS * 4 * n * LANE * itemsize
+def _vmem_estimate(n: int, itemsize: int, g: int) -> int:
+    """Live-set model: slot ring (q/k/v/o group tiles) + one unit's two
+    sub-chain score tiles (fp32 s + input-dtype p) + the fp32 accumulator."""
+    tiles = NSLOTS * 4 * g * n * LANE * itemsize
     scores = n * (n // SPLIT) * (4 + itemsize) * SPLIT
     acc = n * LANE * 4 + 2 * n * LANE * itemsize
     return tiles + scores + acc
+
+
+def _pick_group(nu: int, n: int, itemsize: int) -> int:
+    for g in (GROUP, 2, 1):
+        if nu % g == 0 and nu // g >= NSLOTS \
+                and _vmem_estimate(n, itemsize, g) <= VMEM_BUDGET:
+            return g
+    return 0
 
 
 def batched_attention_supported(q_shape, dtype) -> bool:
@@ -73,21 +87,23 @@ def batched_attention_supported(q_shape, dtype) -> bool:
         D <= LANE
         and N <= MAX_SEQ
         and N % (sub * SPLIT) == 0
-        and B * H >= NSLOTS
-        and _vmem_estimate(N, itemsize) <= VMEM_BUDGET
+        and _pick_group(B * H, N, itemsize) > 0
     )
 
 
 def _batched_kernel(q_hbm, k_hbm, v_hbm, o_hbm,
                     qkv_vmem, o_vmem, in_sem, out_sem,
-                    *, nu: int, n: int, d: int, scale: float):
-    """One program; fori_loop over the NU = B*H head units.
+                    *, ng: int, g: int, n: int, d: int, scale: float):
+    """One program; fori_loop over the NG = B*H / G unit GROUPS.  Each
+    iteration DMAs one (G, N, 128) q/k/v group per slot and computes its G
+    heads back to back — one set of DMA waits (and one trip through the loop
+    body's scalar work) per G units instead of per unit.
 
     Slot schedule (ring of NSLOTS): at the top of iteration u the fetch for
-    unit u + NSLOTS - 1 is issued into slot (u + NSLOTS - 1) % NSLOTS — that
-    slot's previous occupant (unit u - 1) was consumed last iteration, so
+    group u + NSLOTS - 1 is issued into slot (u + NSLOTS - 1) % NSLOTS — that
+    slot's previous occupant (group u - 1) was consumed last iteration, so
     program order alone makes the overwrite safe (the guide's double-buffer
-    pattern, NSLOTS deep).  o_vmem reuse is guarded by waiting unit
+    pattern, NSLOTS deep).  o_vmem reuse is guarded by waiting group
     u - NSLOTS's output DMA before overwriting its slot.
     """
 
@@ -105,7 +121,8 @@ def _batched_kernel(q_hbm, k_hbm, v_hbm, o_hbm,
         return pltpu.make_async_copy(o_vmem.at[slot], o_hbm.at[u],
                                      out_sem.at[slot])
 
-    # warm-up: units 0 .. NSLOTS-2 (unit u+NSLOTS-1 is fetched inside iter u)
+    # warm-up: groups 0 .. NSLOTS-2 (group u+NSLOTS-1 is fetched inside
+    # iteration u)
     for u in range(NSLOTS - 1):
         for dma in in_dmas(u % NSLOTS, u):
             dma.start()
@@ -117,7 +134,7 @@ def _batched_kernel(q_hbm, k_hbm, v_hbm, o_hbm,
 
         pre = u + NSLOTS - 1
 
-        @pl.when(pre < nu)
+        @pl.when(pre < ng)
         def _prefetch():
             for dma in in_dmas(jax.lax.rem(pre, NSLOTS), pre):
                 dma.start()
@@ -129,54 +146,58 @@ def _batched_kernel(q_hbm, k_hbm, v_hbm, o_hbm,
         def _reclaim():
             out_dma(slot, u - NSLOTS).wait()
 
-        q = qkv_vmem[slot, 0]  # (N, 128); lanes d: are zero
-        parts = []
-        for j in range(SPLIT):
-            k = qkv_vmem[slot, 1, j * sub:(j + 1) * sub]
-            v = qkv_vmem[slot, 2, j * sub:(j + 1) * sub]  # pad lanes = ones
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * (scale * LOG2E)  # (N, sub), log2 domain
-            m_j = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp2(s - m_j).astype(v.dtype)
-            acc_j = jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (N, 128): [:, :d] = p@v, [:, d:] = row-sum l
-            parts.append((m_j, acc_j))
+        for gi in range(g):
+            q = qkv_vmem[slot, 0, gi]  # (N, 128); lanes d: are zero
+            parts = []
+            for j in range(SPLIT):
+                k = qkv_vmem[slot, 1, gi, j * sub:(j + 1) * sub]
+                v = qkv_vmem[slot, 2, gi, j * sub:(j + 1) * sub]  # pad = ones
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * (scale * LOG2E)  # (N, sub), log2 domain
+                m_j = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp2(s - m_j).astype(v.dtype)
+                acc_j = jax.lax.dot_general(
+                    p, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (N, 128): [:, :d] = p@v, [:, d:] = row-sum l
+                parts.append((m_j, acc_j))
 
-        m = parts[0][0]
-        for m_j, _ in parts[1:]:
-            m = jnp.maximum(m, m_j)
-        acc = parts[0][1] * jnp.exp2(parts[0][0] - m)
-        for m_j, acc_j in parts[1:]:
-            acc = acc + acc_j * jnp.exp2(m_j - m)
+            m = parts[0][0]
+            for m_j, _ in parts[1:]:
+                m = jnp.maximum(m, m_j)
+            acc = parts[0][1] * jnp.exp2(parts[0][0] - m)
+            for m_j, acc_j in parts[1:]:
+                acc = acc + acc_j * jnp.exp2(m_j - m)
 
-        # divide ALL lanes by l (pad lanes become 1.0; wrapper slices [:d])
-        o_vmem[slot] = (acc / acc[:, d:d + 1]).astype(o_vmem.dtype)
+            # divide ALL lanes by l (pad lanes become 1.0; wrapper slices
+            # [:d])
+            o_vmem[slot, gi] = (acc / acc[:, d:d + 1]).astype(o_vmem.dtype)
         out_dma(slot, u).start()
         return 0
 
-    jax.lax.fori_loop(0, nu, body, 0)
+    jax.lax.fori_loop(0, ng, body, 0)
 
-    for i in range(min(NSLOTS, nu)):
-        u = nu - 1 - i
+    for i in range(min(NSLOTS, ng)):
+        u = ng - 1 - i
         out_dma(u % NSLOTS, u).wait()
 
 
-def _run_kernel(qt, kt, vt, scale, d):
+def _run_kernel(qt, kt, vt, scale, d, g):
     NU, N, _ = qt.shape
-    return pl.pallas_call(
-        functools.partial(_batched_kernel, nu=NU, n=N, d=d,
+    ng = NU // g
+    qt, kt, vt = (t.reshape(ng, g, N, LANE) for t in (qt, kt, vt))
+    out = pl.pallas_call(
+        functools.partial(_batched_kernel, ng=ng, g=g, n=N, d=d,
                           scale=float(scale)),
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3,
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-        out_shape=jax.ShapeDtypeStruct((NU, N, LANE), qt.dtype),
+        out_shape=jax.ShapeDtypeStruct((ng, g, N, LANE), qt.dtype),
         scratch_shapes=[
-            pltpu.VMEM((NSLOTS, 3, N, LANE), qt.dtype),
-            pltpu.VMEM((NSLOTS, N, LANE), qt.dtype),
+            pltpu.VMEM((NSLOTS, 3, g, N, LANE), qt.dtype),
+            pltpu.VMEM((NSLOTS, g, N, LANE), qt.dtype),
             pltpu.SemaphoreType.DMA((NSLOTS, 3)),
             pltpu.SemaphoreType.DMA((NSLOTS,)),
         ],
@@ -185,6 +206,7 @@ def _run_kernel(qt, kt, vt, scale, d):
         ),
         interpret=_interpret(),
     )(qt, kt, vt)
+    return out.reshape(NU, N, LANE)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -197,7 +219,9 @@ def _batched_bnhd(q, k, v, scale):
         t = jnp.swapaxes(x, 1, 2).reshape(B * H, N, D)
         return jnp.pad(t, pad, constant_values=cval)
 
-    o = _run_kernel(to_units(q, 0), to_units(k, 0), to_units(v, 1), scale, D)
+    g = _pick_group(B * H, N, q.dtype.itemsize)
+    o = _run_kernel(to_units(q, 0), to_units(k, 0), to_units(v, 1), scale, D,
+                    g)
     o = o[:, :, :D].reshape(B, H, N, D)
     return jnp.swapaxes(o, 1, 2)
 
