@@ -112,7 +112,7 @@ def _pick_block(s: int, max_block: int) -> int:
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
                 kv_steps: int, d: int, split: int = 1,
-                want_lse: bool = True):
+                want_lse: bool = True, bnhd: bool = False):
     """Online-softmax forward step with the row-sum folded into the PV matmul.
 
     At D < 128 the PV contraction's output uses only D of the MXU's 128
@@ -145,16 +145,24 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0, 0]  # (bq, D)
-    bk = k_ref.shape[2]
+    # bnhd=True: blocks are (1, bq, 1, D) slices of (B, S, H, D) arrays —
+    # no host-side BHSD transpose (r3; saves 4 materialized (B,S,H,D)
+    # copies per decoder layer), the grid's h axis striding the head dim
+    # directly.  [0, :, 0] collapses the unit dims either way.
+    q = q_ref[0, :, 0] if bnhd else q_ref[0, 0]  # (bq, D)
+    bk = k_ref.shape[1] if bnhd else k_ref.shape[2]
     sub = bk // split
     ones = jnp.ones((sub, _ones_width(d)), v_ref.dtype)
 
     # independent partial chains per sub-block (scores in the log2 domain)
     parts = []
     for j in range(split):
-        k = k_ref[0, 0, j * sub:(j + 1) * sub]
-        v = v_ref[0, 0, j * sub:(j + 1) * sub]
+        if bnhd:
+            k = k_ref[0, j * sub:(j + 1) * sub, 0]
+            v = v_ref[0, j * sub:(j + 1) * sub, 0]
+        else:
+            k = k_ref[0, 0, j * sub:(j + 1) * sub]
+            v = v_ref[0, 0, j * sub:(j + 1) * sub]
         # q arrives PRE-SCALED by scale*log2(e) (wrapper): scores come off
         # the MXU already in the log2 domain, saving a full VPU multiply
         # pass over the (bq, sub) tile per kv step
@@ -184,10 +192,18 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
     @pl.when(kv == kv_steps - 1)
     def _finish():
         l = acc_scr[:, d:d + 1]
-        o_ref[0, 0] = (acc_scr[:, :d] / l).astype(o_ref.dtype)
+        o = (acc_scr[:, :d] / l).astype(o_ref.dtype)
+        if bnhd:
+            o_ref[0, :, 0] = o
+        else:
+            o_ref[0, 0] = o
         if want_lse:
             # natural-log lse at the interface
-            lse_ref[0, 0] = (m_scr[:, :1] + jnp.log2(l)) * LN2
+            lse = (m_scr[:, :1] + jnp.log2(l)) * LN2
+            if bnhd:
+                lse_ref[0, :, 0] = lse
+            else:
+                lse_ref[0, 0] = lse
 
 
 def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
@@ -291,7 +307,8 @@ def _flash_forward_single(q, k, v, scale, want_lse=True):
 
 
 def _flash_forward(q, k, v, scale, bq, bk,
-                   split=None, want_lse=True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                   split=None, want_lse=True,
+                   bnhd=False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """split=None is the production auto mode: consider the whole-sequence
     single kernel first, then the tiled kernel with an auto-picked
     partial-softmax sub-chain count (a single chain at bk=3840 is a 15.7 MB
@@ -308,33 +325,45 @@ def _flash_forward(q, k, v, scale, bq, bk,
         assert bk % split == 0 and (bk // split) % 8 == 0, (
             f"split={split} must divide bk={bk} into sublane-multiple "
             "sub-blocks")
-    B, H, S, D = q.shape
-    Skv = k.shape[2]
+    if bnhd:
+        B, S, H, D = q.shape
+        Skv = k.shape[1]
+    else:
+        B, H, S, D = q.shape
+        Skv = k.shape[2]
     # pre-scale q by scale*log2(e): scores come off the MXU already in the
     # log2 domain, removing a VPU multiply pass over every score tile.  For
     # bf16 inputs this rounds q once more (~2^-9 relative on logits — the
     # same order as the bf16 input rounding itself); backward still
     # recomputes from the ORIGINAL q with the in-kernel multiply.
     q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
-    if auto and _pick_single_blocks(B, H, S, Skv, D, q.dtype.itemsize)[0]:
+    if (not bnhd and auto
+            and _pick_single_blocks(B, H, S, Skv, D, q.dtype.itemsize)[0]):
         return _flash_forward_single(q, k, v, scale, want_lse=want_lse)
     grid = (B, H, S // bq, Skv // bk)
 
-    out_specs = [pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0))]
-    out_shape = [jax.ShapeDtypeStruct((B, H, S, D), q.dtype)]
+    if bnhd:
+        q_spec = pl.BlockSpec((1, bq, 1, D), lambda b, h, qi, ki: (b, qi, h, 0))
+        kv_spec = pl.BlockSpec((1, bk, 1, D), lambda b, h, qi, ki: (b, ki, h, 0))
+        o_spec, o_shape = q_spec, jax.ShapeDtypeStruct((B, S, H, D), q.dtype)
+        lse_spec = pl.BlockSpec((1, bq, 1, 1), lambda b, h, qi, ki: (b, qi, h, 0))
+        lse_shape = jax.ShapeDtypeStruct((B, S, H, 1), jnp.float32)
+    else:
+        q_spec = pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0))
+        kv_spec = pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h, ki, 0))
+        o_spec, o_shape = q_spec, jax.ShapeDtypeStruct((B, H, S, D), q.dtype)
+        lse_spec = pl.BlockSpec((1, 1, bq, 1), lambda b, h, qi, ki: (b, h, qi, 0))
+        lse_shape = jax.ShapeDtypeStruct((B, H, S, 1), jnp.float32)
+    out_specs = [o_spec]
+    out_shape = [o_shape]
     if want_lse:
-        out_specs.append(
-            pl.BlockSpec((1, 1, bq, 1), lambda b, h, qi, ki: (b, h, qi, 0)))
-        out_shape.append(jax.ShapeDtypeStruct((B, H, S, 1), jnp.float32))
+        out_specs.append(lse_spec)
+        out_shape.append(lse_shape)
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, kv_steps=Skv // bk,
-                          d=D, split=split, want_lse=want_lse),
+                          d=D, split=split, want_lse=want_lse, bnhd=bnhd),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h, ki, 0)),
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h, ki, 0)),
-        ],
+        in_specs=[q_spec, kv_spec, kv_spec],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -362,7 +391,8 @@ def _flash_forward(q, k, v, scale, bq, bk,
 # gradient-parity tolerances) — do not "fix" one side without the other.
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                   dq_scr, *, scale: float, kv_steps: int):
+                   dq_scr, *, scale: float, kv_steps: int,
+                   bnhd: bool = False):
     """q arrives PRE-SCALED by c = scale*log2(e) (wrapper): scores come off
     the MXU in the log2 domain, and the per-tile ds*scale multiply is
     deferred to the (bq, D) output write (ds = scale*ds0, dq = ds@k =
@@ -373,12 +403,13 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0, 0]          # pre-scaled by c
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0]
-    lse = lse_ref[0, 0]      # (bq, 1)
-    delta = delta_ref[0, 0]  # (bq, 1)
+    rd = (lambda r: r[0, :, 0]) if bnhd else (lambda r: r[0, 0])
+    q = rd(q_ref)          # pre-scaled by c
+    k = rd(k_ref)
+    v = rd(v_ref)
+    do = rd(do_ref)
+    lse = rd(lse_ref)      # (bq, 1)
+    delta = rd(delta_ref)  # (bq, 1)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -397,12 +428,16 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
     @pl.when(kv == kv_steps - 1)
     def _finish():
-        dq_ref[0, 0] = (dq_scr[:] * scale).astype(dq_ref.dtype)
+        dq = (dq_scr[:] * scale).astype(dq_ref.dtype)
+        if bnhd:
+            dq_ref[0, :, 0] = dq
+        else:
+            dq_ref[0, 0] = dq
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr,
-                    *, scale: float, q_steps: int):
+                    *, scale: float, q_steps: int, bnhd: bool = False):
     qi = pl.program_id(3)
 
     @pl.when(qi == 0)
@@ -410,12 +445,13 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0, 0]  # pre-scaled by c = scale*log2(e) (_bwd_dq_kernel note)
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0]
-    lse = lse_ref[0, 0]
-    delta = delta_ref[0, 0]
+    rd = (lambda r: r[0, :, 0]) if bnhd else (lambda r: r[0, 0])
+    q = rd(q_ref)  # pre-scaled by c = scale*log2(e) (_bwd_dq_kernel note)
+    k = rd(k_ref)
+    v = rd(v_ref)
+    do = rd(do_ref)
+    lse = rd(lse_ref)
+    delta = rd(delta_ref)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -439,11 +475,18 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     @pl.when(qi == q_steps - 1)
     def _finish():
-        dk_ref[0, 0] = (dk_scr[:] * LN2).astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+        dk = (dk_scr[:] * LN2).astype(dk_ref.dtype)
+        dv = dv_scr[:].astype(dv_ref.dtype)
+        if bnhd:
+            dk_ref[0, :, 0] = dk
+            dv_ref[0, :, 0] = dv
+        else:
+            dk_ref[0, 0] = dk
+            dv_ref[0, 0] = dv
 
 
-def _flash_backward(q, k, v, o, lse, do, scale, bq, bk, dlse=None):
+def _flash_backward(q, k, v, o, lse, do, scale, bq, bk, dlse=None,
+                    bnhd=False):
     """Flash attention backward.
 
     dlse: optional (B, H, S, 1) fp32 cotangent of the returned logsumexp —
@@ -451,29 +494,62 @@ def _flash_backward(q, k, v, o, lse, do, scale, bq, bk, dlse=None):
     math folds into delta: ds = p*(dp - delta) + p*dlse = p*(dp - (delta -
     dlse)), so the kernels are unchanged.
     """
-    B, H, S, D = q.shape
-    Skv = k.shape[2]
+    if bnhd:
+        B, S, H, D = q.shape
+        Skv = k.shape[1]
+    else:
+        B, H, S, D = q.shape
+        Skv = k.shape[2]
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1,
-                    keepdims=True)  # (B, H, S, 1)
+                    keepdims=True)  # (..., 1), layout of q
     if dlse is not None:
         delta = delta - dlse.astype(jnp.float32)
     # pre-scale q into the log2 domain (kernel docstrings); the deferred
     # scale/LN2 factors are applied at the kernels' output writes
     q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
 
+    if bnhd:
+        def _q4(d_):
+            return pl.BlockSpec((1, bq, 1, d_),
+                                lambda b, h, qi, ki: (b, qi, h, 0))
+        def _k4(d_):
+            return pl.BlockSpec((1, bk, 1, d_),
+                                lambda b, h, qi, ki: (b, ki, h, 0))
+        def _q4r(d_):
+            return pl.BlockSpec((1, bq, 1, d_),
+                                lambda b, h, ki, qi: (b, qi, h, 0))
+        def _k4r(d_):
+            return pl.BlockSpec((1, bk, 1, d_),
+                                lambda b, h, ki, qi: (b, ki, h, 0))
+        dq_shape = jax.ShapeDtypeStruct((B, S, H, D), q.dtype)
+        dkv_shapes = [jax.ShapeDtypeStruct((B, Skv, H, D), k.dtype),
+                      jax.ShapeDtypeStruct((B, Skv, H, D), v.dtype)]
+    else:
+        def _q4(d_):
+            return pl.BlockSpec((1, 1, bq, d_),
+                                lambda b, h, qi, ki: (b, h, qi, 0))
+        def _k4(d_):
+            return pl.BlockSpec((1, 1, bk, d_),
+                                lambda b, h, qi, ki: (b, h, ki, 0))
+        def _q4r(d_):
+            return pl.BlockSpec((1, 1, bq, d_),
+                                lambda b, h, ki, qi: (b, h, qi, 0))
+        def _k4r(d_):
+            return pl.BlockSpec((1, 1, bk, d_),
+                                lambda b, h, ki, qi: (b, h, ki, 0))
+        dq_shape = jax.ShapeDtypeStruct((B, H, S, D), q.dtype)
+        dkv_shapes = [jax.ShapeDtypeStruct((B, H, Skv, D), k.dtype),
+                      jax.ShapeDtypeStruct((B, H, Skv, D), v.dtype)]
+
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, kv_steps=Skv // bk),
+        functools.partial(_bwd_dq_kernel, scale=scale, kv_steps=Skv // bk,
+                          bnhd=bnhd),
         grid=(B, H, S // bq, Skv // bk),
         in_specs=[
-            pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h, ki, 0)),
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h, ki, 0)),
-            pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, bq, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, bq, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
+            _q4(D), _k4(D), _k4(D), _q4(D), _q4(1), _q4(1),
         ],
-        out_specs=pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
+        out_specs=_q4(D),
+        out_shape=dq_shape,
         scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
@@ -483,24 +559,14 @@ def _flash_backward(q, k, v, o, lse, do, scale, bq, bk, dlse=None):
     )(q, k, v, do, lse, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, q_steps=S // bq),
+        functools.partial(_bwd_dkv_kernel, scale=scale, q_steps=S // bq,
+                          bnhd=bnhd),
         grid=(B, H, Skv // bk, S // bq),
         in_specs=[
-            pl.BlockSpec((1, 1, bq, D), lambda b, h, ki, qi: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, ki, qi: (b, h, ki, 0)),
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, ki, qi: (b, h, ki, 0)),
-            pl.BlockSpec((1, 1, bq, D), lambda b, h, ki, qi: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, bq, 1), lambda b, h, ki, qi: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, bq, 1), lambda b, h, ki, qi: (b, h, qi, 0)),
+            _q4r(D), _k4r(D), _k4r(D), _q4r(D), _q4r(1), _q4r(1),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, ki, qi: (b, h, ki, 0)),
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, ki, qi: (b, h, ki, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, H, Skv, D), k.dtype),
-            jax.ShapeDtypeStruct((B, H, Skv, D), v.dtype),
-        ],
+        out_specs=[_k4r(D), _k4r(D)],
+        out_shape=dkv_shapes,
         scratch_shapes=[
             pltpu.VMEM((bk, D), jnp.float32),
             pltpu.VMEM((bk, D), jnp.float32),
@@ -546,19 +612,54 @@ def _flash_bhsd_bwd(scale, res, do):
 _flash_bhsd.defvjp(_flash_bhsd_fwd, _flash_bhsd_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_bnhd(q, k, v, scale):
+    """BNHD-native flash: kernels block the head axis directly out of
+    (B, S, H, D) arrays — zero layout copies around the op (r3; the previous
+    swapaxes wrapper materialized 4 full (B,S,H,D) transposes per forward
+    and 7 more across the backward)."""
+    bq = _pick_block(q.shape[1], MAX_BLOCK_Q)
+    bk = _pick_block(k.shape[1], MAX_BLOCK_KV)
+    o, _ = _flash_forward(q, k, v, scale, bq, bk, want_lse=False, bnhd=True)
+    return o
+
+
+def _flash_bnhd_fwd(q, k, v, scale):
+    bq = _pick_block(q.shape[1], MAX_BLOCK_Q)
+    bk = _pick_block(k.shape[1], MAX_BLOCK_KV)
+    o, lse = _flash_forward(q, k, v, scale, bq, bk, bnhd=True)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_bnhd_bwd(scale, res, do):
+    q, k, v, o, lse = res
+    bq = _pick_block(q.shape[1], MAX_BLOCK_Q_BWD)
+    bk = _pick_block(k.shape[1], MAX_BLOCK_KV_BWD)
+    return _flash_backward(q, k, v, o, lse, do, scale, bq, bk, bnhd=True)
+
+
+_flash_bnhd.defvjp(_flash_bnhd_fwd, _flash_bnhd_bwd)
+
+
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     scale: float) -> jnp.ndarray:
     """Flash attention over (B, N, H, D) inputs (fast3r_tpu layout).
 
     Falls back to the naive path when N is not a multiple of 128 (tiny tests).
+    Short sequences that fit the whole-sequence single kernel go through the
+    BHSD transpose wrapper (that kernel wants contiguous (S, D) planes); the
+    long-sequence decoder path runs the BNHD-native kernels directly.
     """
     S, Skv = q.shape[1], k.shape[1]
     if _pick_block(S, MAX_BLOCK_Q) == 0 or _pick_block(Skv, MAX_BLOCK_KV) == 0:
         from fast3r_tpu.ops.attention import dot_product_attention
 
         return dot_product_attention(q, k, v, scale, impl="naive")
-    qt = jnp.swapaxes(q, 1, 2)
-    kt = jnp.swapaxes(k, 1, 2)
-    vt = jnp.swapaxes(v, 1, 2)
-    o = _flash_bhsd(qt, kt, vt, float(scale))
-    return jnp.swapaxes(o, 1, 2)
+    B, _, H, D = q.shape
+    if _pick_single_blocks(B, H, S, Skv, D, q.dtype.itemsize)[0]:
+        qt = jnp.swapaxes(q, 1, 2)
+        kt = jnp.swapaxes(k, 1, 2)
+        vt = jnp.swapaxes(v, 1, 2)
+        o = _flash_bhsd(qt, kt, vt, float(scale))
+        return jnp.swapaxes(o, 1, 2)
+    return _flash_bnhd(q, k, v, float(scale))

@@ -143,3 +143,39 @@ def test_flash_entropy_scale():
     ref = _naive(q, k, v, scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
                                atol=2e-5)
+
+
+def test_flash_bnhd_native_forward_and_grads():
+    """The BNHD-native kernel path (no swapaxes around the op — the r3
+    decoder hot path) matches naive attention in forward and gradients."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from fast3r_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(21)
+    B, S, H, D = 1, 256, 2, 64
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+        for _ in range(3)
+    )
+    scale = D ** -0.5
+    ref = _naive(q, k, v, scale)
+    with pltpu.force_tpu_interpret_mode():
+        out = fa._flash_bnhd(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_naive(q, k, v):
+        return jnp.sum(jnp.sin(_naive(q, k, v, scale)))
+
+    def loss_bnhd(q, k, v):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(jnp.sin(fa._flash_bnhd(q, k, v, scale)))
+
+    g_ref = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
+    g_out = jax.grad(loss_bnhd, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_out, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
+            err_msg=f"d{name}",
+        )

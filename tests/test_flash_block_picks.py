@@ -26,8 +26,11 @@ def test_pick_split_bounds_sub_chain():
         sub = bk // split
         assert sub <= MAX_SUB_KV
         assert sub % 8 == 0
-        # the live fp32 score tile at the max q block stays under ~6 MB
-        assert 4 * MAX_BLOCK_Q * sub <= 6.5 * 1024 * 1024
+        # the live fp32 score tile at the max q block stays under ~8 MB
+        # (r3: the q-prescale lightened the VPU load enough that 2 sub-chains
+        # of 1920 beat 3 of 1280 — (1024,3840)x2 compiles and runs at 90.5
+        # TFLOP/s on hardware, so the budget provably admits a 7.5 MB tile)
+        assert 4 * MAX_BLOCK_Q * sub <= 8 * 1024 * 1024
 
 
 def test_pick_block_divides_and_prefers_lanes():
