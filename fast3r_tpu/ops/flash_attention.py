@@ -646,20 +646,19 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """Flash attention over (B, N, H, D) inputs (fast3r_tpu layout).
 
     Falls back to the naive path when N is not a multiple of 128 (tiny tests).
-    Short sequences that fit the whole-sequence single kernel go through the
-    BHSD transpose wrapper (that kernel wants contiguous (S, D) planes); the
-    long-sequence decoder path runs the BNHD-native kernels directly.
-    """
+    All supported shapes go through the BHSD transpose wrapper: Mosaic
+    requires the last two BLOCK dims to be (8, 128)-divisible or equal to the
+    array dims, so per-head blocks of a (B, S, H, D) array — H blocked to 1
+    in the second-minor slot — do not lower (caught on hardware, r3; the
+    `bnhd=True` kernel paths remain for interpreter-mode use and as the base
+    of a future head-folded variant)."""
     S, Skv = q.shape[1], k.shape[1]
     if _pick_block(S, MAX_BLOCK_Q) == 0 or _pick_block(Skv, MAX_BLOCK_KV) == 0:
         from fast3r_tpu.ops.attention import dot_product_attention
 
         return dot_product_attention(q, k, v, scale, impl="naive")
-    B, _, H, D = q.shape
-    if _pick_single_blocks(B, H, S, Skv, D, q.dtype.itemsize)[0]:
-        qt = jnp.swapaxes(q, 1, 2)
-        kt = jnp.swapaxes(k, 1, 2)
-        vt = jnp.swapaxes(v, 1, 2)
-        o = _flash_bhsd(qt, kt, vt, float(scale))
-        return jnp.swapaxes(o, 1, 2)
-    return _flash_bnhd(q, k, v, float(scale))
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    o = _flash_bhsd(qt, kt, vt, float(scale))
+    return jnp.swapaxes(o, 1, 2)

@@ -63,11 +63,19 @@ def main():
     def bnhd(q, k, v):
         return fa._flash_bnhd(q, k, v, scale)
 
+    # pre-transposed inputs: the kernel alone, no swapaxes on the clock —
+    # (bhsd - raw) is the per-op transpose overhead the BNHD design targets
+    qh, kh, vh = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
+    qh, kh, vh = (jnp.asarray(np.asarray(t)) for t in (qh, kh, vh))
+
+    def raw(q, k, v):
+        return fa._flash_bhsd(q, k, v, scale)
+
     out = {}
-    for name, fn in (("bnhd", bnhd), ("bhsd", bhsd)):
+    for name, fn in (("bnhd", bnhd), ("bhsd", bhsd), ("raw", raw)):
         if name not in probes:
             continue
-        t = timed(fn, q, k, v)
+        t = timed(fn, qh, kh, vh) if name == "raw" else timed(fn, q, k, v)
         out[name] = {"ms": round(t * 1e3, 2), "tflops": round(tflop / t, 1)}
         print(name, out[name], flush=True)
     print(json.dumps({"shape": [B, S, H, D], "tflop_per_pass": round(tflop, 2),
