@@ -247,10 +247,200 @@ def _batched_bnhd_bwd(scale, res, g):
 _batched_bnhd.defvjp(_batched_bnhd_fwd, _batched_bnhd_bwd)
 
 
+# ----------------------------------------------------------------------------
+# v2: zero-relayout "packed" variant
+# ----------------------------------------------------------------------------
+#
+# The padded kernel above still pays XLA relayout passes AROUND the op: the
+# (B, N, H, D) -> (B*H, N, 128) pad/transpose on the way in and the
+# slice/unpad/transpose on the way out are ~5 full HBM round trips of q/k/v/o
+# per layer.  This variant keeps q/k/v in the (B, N, H*D) layout the fused
+# qkv kernel NATURALLY produces (nn/fused_block.py ln_qkv -> (B*N, C)):
+#
+#   * the DMA unit is a contiguous (N, PGROUP*D) slab of PGROUP consecutive
+#     heads of one view — minor offset/extent are 128-aligned for D=64,
+#     PGROUP=4 (no padding needed, HALF the DMA bytes of the padded kernel);
+#   * heads are lane-SLICED from the slab in VMEM (static 64-aligned slices:
+#     a register relayout, not an HBM pass);
+#   * the MXU row-sum rides a per-head ones-EXTENDED v tile built in VMEM
+#     ((N, 128): lanes [:64] = v_h, lanes [64:] = 1), so PV still yields
+#     [p@v | row-sum] in one matmul;
+#   * outputs are packed back into (N, PGROUP*D) slab lanes and DMA'd to a
+#     (B, N, H*D) result — the proj matmul consumes it with NO reshuffle.
+
+
+def _vmem_estimate_packed(n: int, itemsize: int, g: int, d: int) -> int:
+    slab = g * d
+    tiles = NSLOTS * 4 * n * slab * itemsize          # q/k/v/o slot rings
+    vext = n * (2 * d) * itemsize                     # ones-extended v tile
+    scores = n * (n // SPLIT) * (4 + itemsize) * SPLIT
+    acc = n * (2 * d) * 4
+    return tiles + vext + scores + acc
+
+
+def _pick_pgroup(h: int, n: int, itemsize: int, d: int) -> int:
+    for g in (8, 4, 2, 1):
+        if (g * d) % LANE:
+            continue
+        if h % g == 0 and _vmem_estimate_packed(n, itemsize, g, d) \
+                <= VMEM_BUDGET:
+            return g
+    return 0
+
+
+def packed_attention_supported(q_shape, dtype) -> bool:
+    B, N, H, D = q_shape
+    itemsize = jnp.dtype(dtype).itemsize
+    sub = 16 if itemsize == 2 else 8
+    return (
+        N <= MAX_SEQ
+        and N % (sub * SPLIT) == 0
+        and _pick_pgroup(H, N, itemsize, D) > 0
+    )
+
+
+def _packed_kernel(q_hbm, k_hbm, v_hbm, o_hbm,
+                   qkv_vmem, o_vmem, vext_vmem, in_sem, out_sem,
+                   *, nv: int, npg: int, g: int, n: int, d: int,
+                   scale: float):
+    """One program; fori_loop over NV*NPG units (view vi, head-group gi).
+    Same NSLOTS ring schedule as _batched_kernel; the DMA src/dst are lane
+    sub-slices of the (B, N, H*D) HBM arrays."""
+    gd = g * d
+
+    def in_dmas(slot, u):
+        vi = u // npg
+        lo = (u % npg) * gd
+        return (
+            pltpu.make_async_copy(q_hbm.at[vi, :, pl.ds(lo, gd)],
+                                  qkv_vmem.at[slot, 0], in_sem.at[slot, 0]),
+            pltpu.make_async_copy(k_hbm.at[vi, :, pl.ds(lo, gd)],
+                                  qkv_vmem.at[slot, 1], in_sem.at[slot, 1]),
+            pltpu.make_async_copy(v_hbm.at[vi, :, pl.ds(lo, gd)],
+                                  qkv_vmem.at[slot, 2], in_sem.at[slot, 2]),
+        )
+
+    def out_dma(slot, u):
+        vi = u // npg
+        lo = (u % npg) * gd
+        return pltpu.make_async_copy(o_vmem.at[slot],
+                                     o_hbm.at[vi, :, pl.ds(lo, gd)],
+                                     out_sem.at[slot])
+
+    for u in range(NSLOTS - 1):
+        for dma in in_dmas(u % NSLOTS, u):
+            dma.start()
+
+    # ones extension lanes never change — fill once
+    vext_vmem[:, d:] = jnp.ones((n, d), vext_vmem.dtype)
+
+    sub = n // SPLIT
+    ng = nv * npg
+
+    def body(u, _):
+        slot = jax.lax.rem(u, NSLOTS)
+        pre = u + NSLOTS - 1
+
+        @pl.when(pre < ng)
+        def _prefetch():
+            for dma in in_dmas(jax.lax.rem(pre, NSLOTS), pre):
+                dma.start()
+
+        for dma in in_dmas(slot, u):
+            dma.wait()
+
+        @pl.when(u >= NSLOTS)
+        def _reclaim():
+            out_dma(slot, u - NSLOTS).wait()
+
+        for gi in range(g):
+            q = qkv_vmem[slot, 0, :, gi * d:(gi + 1) * d]  # (N, d)
+            vext_vmem[:, :d] = qkv_vmem[slot, 2, :, gi * d:(gi + 1) * d]
+            parts = []
+            for j in range(SPLIT):
+                k = qkv_vmem[slot, 1, j * sub:(j + 1) * sub,
+                             gi * d:(gi + 1) * d]  # (sub, d)
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * (scale * LOG2E)  # (N, sub), log2 domain
+                m_j = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp2(s - m_j).astype(vext_vmem.dtype)
+                acc_j = jax.lax.dot_general(
+                    p, vext_vmem[j * sub:(j + 1) * sub],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (N, 2d): [:, :d] = p@v, [:, d:] = row-sum l replicated
+                parts.append((m_j, acc_j))
+
+            m = parts[0][0]
+            for m_j, _ in parts[1:]:
+                m = jnp.maximum(m, m_j)
+            acc = parts[0][1] * jnp.exp2(parts[0][0] - m)
+            for m_j, acc_j in parts[1:]:
+                acc = acc + acc_j * jnp.exp2(m_j - m)
+
+            o_vmem[slot, :, gi * d:(gi + 1) * d] = (
+                acc[:, :d] / acc[:, d:d + 1]).astype(o_vmem.dtype)
+        out_dma(slot, u).start()
+        return 0
+
+    jax.lax.fori_loop(0, ng, body, 0)
+
+    for i in range(min(NSLOTS, ng)):
+        u = ng - 1 - i
+        out_dma(u % NSLOTS, u).wait()
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _packed_bnhd(q, k, v, scale):
+    B, N, H, D = q.shape
+    g = _pick_pgroup(H, N, q.dtype.itemsize, D)
+    npg = H // g
+    qp, kp, vp = (t.reshape(B, N, H * D) for t in (q, k, v))
+    out = pl.pallas_call(
+        functools.partial(_packed_kernel, nv=B, npg=npg, g=g, n=N, d=D,
+                          scale=float(scale)),
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        out_shape=jax.ShapeDtypeStruct((B, N, H * D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((NSLOTS, 3, N, g * D), q.dtype),
+            pltpu.VMEM((NSLOTS, N, g * D), q.dtype),
+            pltpu.VMEM((N, 2 * D), q.dtype),
+            pltpu.SemaphoreType.DMA((NSLOTS, 3)),
+            pltpu.SemaphoreType.DMA((NSLOTS,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(qp, kp, vp)
+    return out.reshape(B, N, H, D)
+
+
+def _packed_bnhd_fwd(q, k, v, scale):
+    return _packed_bnhd(q, k, v, scale), (q, k, v)
+
+
+def _packed_bnhd_bwd(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _naive_reference(q_, k_, v_, scale),
+                     q, k, v)
+    return vjp(g)
+
+
+_packed_bnhd.defvjp(_packed_bnhd_fwd, _packed_bnhd_bwd)
+
+
 def batched_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       scale: float) -> jnp.ndarray:
     """Many-small-heads attention over (B, N, H, D); self-attention only
-    (N_q == N_kv).  Falls back to the XLA path for unsupported shapes."""
+    (N_q == N_kv).  Prefers the zero-relayout packed kernel, then the padded
+    kernel, then the XLA path for unsupported shapes."""
+    if q.shape == k.shape and packed_attention_supported(q.shape, q.dtype):
+        return _packed_bnhd(q, k, v, float(scale))
     if q.shape != k.shape or not batched_attention_supported(q.shape, q.dtype):
         from fast3r_tpu.ops.attention import dot_product_attention
 

@@ -120,6 +120,37 @@ def main():
         results["stack_rope"] = timed(stack_rope, params, x0)
         print("stack_rope", round(results["stack_rope"], 4), flush=True)
 
+    # production-shape fused-stack probes: batched attention vs attention
+    # replaced by identity (isolates the attention share of the stack), and
+    # additionally without rope (isolates the rope share)
+    cos_sin = rope2d_cos_sin(pos, hd, cfg.rope_base)
+
+    def _fused_probe(impl, rope):
+        def f(p, x):
+            y, _ = run_vit_stack(
+                p["blocks"], x, cfg.num_heads, hd ** -0.5,
+                rope_cos_sin=cos_sin if rope else None,
+                attn_impl=impl, depth=cfg.depth, fused=True)
+            return y.astype(jnp.float32).sum()
+        return f
+
+    from fast3r_tpu.ops.batched_attention import _batched_bnhd
+
+    _identity_attn = lambda q, k, v, s: q
+    _padded_attn = lambda q, k, v, s: _batched_bnhd(q, k, v, float(s))
+    fused_probes = {
+        "stack_fused_batched": _fused_probe("batched", True),
+        "stack_fused_padded": _fused_probe(_padded_attn, True),
+        "stack_fused_xla": _fused_probe("xla", True),
+        "stack_fused_noattn": _fused_probe(_identity_attn, True),
+        "stack_fused_noattn_norope": _fused_probe(_identity_attn, False),
+    }
+    for key, f in fused_probes.items():
+        if key not in probes:
+            continue
+        results[key] = timed(f, params, x0)
+        print(key, round(results[key], 4), flush=True)
+
     for fused in (True, False):
         key = "decstack" + ("_fused" if fused else "_plain")
         if key not in probes:

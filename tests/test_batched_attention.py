@@ -89,3 +89,35 @@ def test_gradients_match_naive():
     for a, b in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_packed_vs_padded_kernels():
+    """The zero-relayout packed kernel and the padded kernel agree with the
+    naive reference (and with each other at kernel-exact level: identical
+    sub-chain math, different data paths)."""
+    from fast3r_tpu.ops.batched_attention import (
+        _batched_bnhd,
+        _packed_bnhd,
+        packed_attention_supported,
+    )
+
+    shape = (2, 768, 16, 64)
+    assert packed_attention_supported(shape, jnp.bfloat16)
+    ks = jax.random.split(jax.random.key(5), 3)
+    q, k, v = (_mk(x, shape, jnp.bfloat16) for x in ks)
+    scale = 0.125
+    packed = np.asarray(_packed_bnhd(q, k, v, scale), np.float32)
+    padded = np.asarray(_batched_bnhd(q, k, v, scale), np.float32)
+    ref = np.asarray(dot_product_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32),
+        v.astype(jnp.float32), scale, impl="naive"))
+    assert np.abs(packed - ref).max() < 0.02
+    # same sub-chain softmax math -> bit-comparable up to the lane layout
+    assert np.abs(packed - padded).max() < 1e-5
+
+
+def test_packed_odd_head_counts_unsupported():
+    # H=3 cannot form a 128-aligned lane group at D=64 -> padded kernel path
+    from fast3r_tpu.ops.batched_attention import packed_attention_supported
+
+    assert not packed_attention_supported((1, 64, 3, 64), jnp.float32)
