@@ -70,11 +70,13 @@ class Fast3RConfig:
         """ViT-L/16 encoder + 1024x24 fusion decoder + dual DPT heads
         (configs/experiment/super_long_training/super_long_training.yaml).
 
-        The encoder uses "auto" attention (XLA for short per-view sequences,
-        flash for large batches); the fused decoder uses `attn_impl`.
+        The encoder keeps its "batched" default (manual-DMA packed kernel
+        for the per-view heads, ops/batched_attention.py) when `attn_impl`
+        is the TPU default "pallas"; the fused decoder uses `attn_impl`
+        (flash for the large fused sequence).
         """
         enc = EncoderConfig(embed_dim=1024, num_heads=16, depth=24,
-                            attn_impl="auto" if attn_impl == "pallas"
+                            attn_impl="batched" if attn_impl == "pallas"
                             else attn_impl)
         dec = DecoderConfig(enc_embed_dim=1024, embed_dim=1024, num_heads=16,
                             depth=24, attn_impl=attn_impl)
