@@ -31,8 +31,14 @@ def timed(fn, *args, iters=ITERS):
         x = args[0]
 
         def body(i, acc):
-            xi = x * (jnp.float32(1.0) + i * jnp.float32(1e-8)).astype(x.dtype)
-            return acc + jnp.sum(fn(xi, *args[1:]).astype(jnp.float32))
+            # sequential NONLINEAR dependency: a bare conv is linear, so a
+            # multiplicative/additive perturbation gets rewritten out of the
+            # loop (conv(s*x, w) = s*conv(x, w) -> one conv total; the first
+            # cut of this script measured a bogus 365 TFLOP/s that way).
+            # max() can't be pushed through the conv, and chaining acc into
+            # x forces one conv per iteration; numerically xi == x.
+            xi = jnp.maximum(x, (acc - jnp.float32(1e30)).astype(x.dtype))
+            return jnp.sum(fn(xi, *args[1:]).astype(jnp.float32))
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     r1 = jax.jit(lambda *a: run_n(a, 1))
