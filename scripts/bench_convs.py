@@ -45,9 +45,12 @@ def timed(fn, *args, iters=ITERS):
     rN = jax.jit(lambda *a: run_n(a, iters))
     float(np.asarray(r1(*args)))
     float(np.asarray(rN(*args)))
-    t0 = time.perf_counter(); float(np.asarray(r1(*args))); t1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); float(np.asarray(rN(*args))); tN = time.perf_counter() - t0
-    return (tN - t1) / (iters - 1)
+    vals = []
+    for _ in range(3):
+        t0 = time.perf_counter(); float(np.asarray(r1(*args))); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(np.asarray(rN(*args))); tN = time.perf_counter() - t0
+        vals.append((tN - t1) / (iters - 1))
+    return float(np.median(vals))
 
 
 def main():

@@ -1,0 +1,155 @@
+"""Per-phase timing of the DPT head at the headline chunk shape (real TPU).
+
+The dual heads cost 0.084 s of the 0.4645 s headline pass (89 TFLOP/s vs the
+~150 TFLOP/s the same convs reach in isolation, scripts/bench_convs.py) —
+this decomposes one head invocation at the bench's chunk shape (B=4 views @
+512x384, hook tokens (4, 768, 1024)) into adapters / refinenet cascade /
+regression trunk to find where the gap lives.
+
+Timing protocol: chained fori_loop with a nonlinear sequential dependency
+(max with a loop-carried scalar — see scripts/bench_convs.py for why a
+linear perturbation gets simplified away), (tN - t1)/(N-1).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ITERS = 8
+H, W = 384, 512
+B = 4  # bench.py head_chunk_views
+
+
+def timed(fn, *args, iters=ITERS):
+    import jax
+    import jax.numpy as jnp
+
+    def run_n(args, n):
+        x = args[0]
+
+        def body(i, acc):
+            xi = jnp.maximum(x, (acc - jnp.float32(1e30)).astype(x.dtype))
+            return jnp.sum(fn(xi, *args[1:]).astype(jnp.float32))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    r1 = jax.jit(lambda *a: run_n(a, 1))
+    rN = jax.jit(lambda *a: run_n(a, iters))
+    float(np.asarray(r1(*args)))
+    float(np.asarray(rN(*args)))
+    vals = []
+    for _ in range(3):
+        t0 = time.perf_counter(); float(np.asarray(r1(*args))); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(np.asarray(rN(*args))); tN = time.perf_counter() - t0
+        vals.append((tN - t1) / (iters - 1))
+    return float(np.median(vals))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--probes",
+                    default="full,adapters,refinenet,regression,regression_resize")
+    args = ap.parse_args()
+    probes = set(args.probes.split(","))
+
+    import jax
+    import jax.numpy as jnp
+
+    from fast3r_tpu.models import dpt_head as dh
+    from fast3r_tpu.nn.layers import conv2d
+    from fast3r_tpu.ops.resize import resize_bilinear_align_corners
+
+    cfg = dh.DPTHeadConfig(dim_tokens=(1024, 1024, 1024, 1024))
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                          dh.init_dpt_head(jax.random.key(0), cfg))
+    nh, nw = H // cfg.patch_size, W // cfg.patch_size
+    rng = np.random.default_rng(0)
+    hooks = [jnp.asarray(rng.standard_normal((B, nh * nw, 1024)) * 0.4,
+                         jnp.bfloat16) for _ in range(4)]
+
+    results = {}
+
+    if "full" in probes:
+        def full(h0, h1, h2, h3, p):
+            out = dh.dpt_head_forward(p, cfg, [h0, h1, h2, h3], (H, W))
+            return out["pts3d"].astype(jnp.float32).sum()
+        results["full"] = timed(full, *hooks, params)
+        print("full", round(results["full"], 5), flush=True)
+
+    # --- segment probes share the intermediate shapes of the real head ---
+    def adapters(h0, h1, h2, h3, p):
+        grids = [t.reshape(B, nh, nw, 1024) for t in (h0, h1, h2, h3)]
+        from fast3r_tpu.nn.layers import conv_transpose2d
+        l1 = conv_transpose2d(p["act1"]["up"],
+                              conv2d(p["act1"]["proj"], grids[0],
+                                     padding="VALID"), stride=4)
+        l2 = conv_transpose2d(p["act2"]["up"],
+                              conv2d(p["act2"]["proj"], grids[1],
+                                     padding="VALID"), stride=2)
+        l3 = conv2d(p["act3"]["proj"], grids[2], padding="VALID")
+        l4 = conv2d(p["act4"]["down"],
+                    conv2d(p["act4"]["proj"], grids[3], padding="VALID"),
+                    stride=2, padding=[(1, 1), (1, 1)])
+        layers = [l1, l2, l3, l4]
+        layers = [conv2d(p["layer_rn"][i], layers[i], padding=[(1, 1), (1, 1)])
+                  for i in range(4)]
+        return sum(l.astype(jnp.float32).sum() for l in layers)
+
+    if "adapters" in probes:
+        results["adapters"] = timed(adapters, *hooks, params)
+        print("adapters", round(results["adapters"], 5), flush=True)
+
+    # refinenet cascade on pre-built layer tensors
+    fd = cfg.feature_dim
+    layer_shapes = [(B, 4 * nh, 4 * nw, fd), (B, 2 * nh, 2 * nw, fd),
+                    (B, nh, nw, fd), (B, (nh + 1) // 2, (nw + 1) // 2, fd)]
+    layer_in = [jnp.asarray(rng.standard_normal(s) * 0.4, jnp.bfloat16)
+                for s in layer_shapes]
+
+    def refinenet(l1, l2, l3, l4, p):
+        rn = p["refinenet"]
+        path4 = dh._fusion_block(rn[3], l4)
+        path4 = path4[:, : l3.shape[1], : l3.shape[2], :]
+        path3 = dh._fusion_block(rn[2], path4, l3)
+        path2 = dh._fusion_block(rn[1], path3, l2)
+        path1 = dh._fusion_block(rn[0], path2, l1)
+        return path1.astype(jnp.float32).sum()
+
+    if "refinenet" in probes:
+        results["refinenet"] = timed(refinenet, *layer_in, params)
+        print("refinenet", round(results["refinenet"], 5), flush=True)
+
+    path1_in = jnp.asarray(
+        rng.standard_normal((B, H // 2, W // 2, fd)) * 0.4, jnp.bfloat16)
+
+    def regression(x, p):
+        x = conv2d(p["head"]["conv1"], x, padding=[(1, 1), (1, 1)])
+        x = resize_bilinear_align_corners(x, H, W)
+        x = conv2d(p["head"]["conv2"], x, padding=[(1, 1), (1, 1)])
+        x = jax.nn.relu(x)
+        x = conv2d(p["head"]["conv3"], x, padding="VALID")
+        return x.astype(jnp.float32).sum()
+
+    def regression_resize(x, p):
+        # resize alone (the conv1->resize->conv2 ordering doubles conv2's
+        # pixel count; this isolates the resize's own cost)
+        return resize_bilinear_align_corners(x, H, W).astype(jnp.float32).sum()
+
+    if "regression" in probes:
+        results["regression"] = timed(regression, path1_in, params)
+        print("regression", round(results["regression"], 5), flush=True)
+    if "regression_resize" in probes:
+        results["regression_resize"] = timed(regression_resize, path1_in, params)
+        print("regression_resize", round(results["regression_resize"], 5),
+              flush=True)
+
+    print(json.dumps({k: round(v, 5) for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()
