@@ -36,10 +36,26 @@ def _interp_matrix(out_size: int, in_size: int) -> np.ndarray:
     return m
 
 
-def resize_bilinear_align_corners(
-    x: jnp.ndarray, out_h: int, out_w: int
-) -> jnp.ndarray:
-    """Resize (B, H, W, C) -> (B, out_h, out_w, C), align_corners=True bilinear."""
+@functools.lru_cache(maxsize=256)
+def _interp_taps(out_size: int, in_size: int):
+    """(lo, hi, frac) 2-tap form of _interp_matrix (same lo/hi/frac math)."""
+    if out_size == 1 or in_size == 1:
+        z = np.zeros(out_size, dtype=np.int32)
+        return z, z, np.zeros(out_size, dtype=np.float32)
+    scale = (in_size - 1) / (out_size - 1)
+    src = np.arange(out_size, dtype=np.float64) * scale
+    lo = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
+    hi = np.minimum(lo + 1, in_size - 1)
+    frac = (src - lo).astype(np.float32)
+    return lo.astype(np.int32), hi.astype(np.int32), frac
+
+
+def _resize_matmul(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Dense-matrix formulation (two MXU matmuls).  Kept for comparison and
+    as the building block of resize_bicubic_torch below; on TPU the einsum
+    contraction over a non-minor spatial dim costs full-array HBM relayout
+    passes around each matmul — measured 1.85 ms for (4,192,256,128)->(384,
+    512) where pure bandwidth is ~0.3 ms (scripts/bench_head.py, r3)."""
     _, h, w, _ = x.shape
     dtype = x.dtype
     if h != out_h:
@@ -48,6 +64,31 @@ def resize_bilinear_align_corners(
     if w != out_w:
         mw = jnp.asarray(_interp_matrix(out_w, w), dtype=dtype)
         x = jnp.einsum("Ow,bhwc->bhOc", mw, x)
+    return x
+
+
+def resize_bilinear_align_corners(
+    x: jnp.ndarray, out_h: int, out_w: int
+) -> jnp.ndarray:
+    """Resize (B, H, W, C) -> (B, out_h, out_w, C), align_corners=True bilinear.
+
+    Formulated as two static-index gather+lerp passes (each output row/col is
+    a 2-tap combination of input rows/cols; the taps are trace-time numpy
+    constants, so XLA fuses each pass into one elementwise kernel with
+    gathered operands) — bandwidth-bound, no relayouts, no MXU detour.
+    Numerically identical taps/weights to the dense-matrix formulation."""
+    _, h, w, _ = x.shape
+    dtype = x.dtype
+    if h != out_h:
+        lo, hi, frac = _interp_taps(out_h, h)
+        f = jnp.asarray(frac, dtype)[:, None, None]
+        x = jnp.take(x, jnp.asarray(lo), axis=1) * (1 - f) \
+            + jnp.take(x, jnp.asarray(hi), axis=1) * f
+    if w != out_w:
+        lo, hi, frac = _interp_taps(out_w, w)
+        f = jnp.asarray(frac, dtype)[:, None]
+        x = jnp.take(x, jnp.asarray(lo), axis=2) * (1 - f) \
+            + jnp.take(x, jnp.asarray(hi), axis=2) * f
     return x
 
 

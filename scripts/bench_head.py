@@ -140,6 +140,10 @@ def main():
         # pixel count; this isolates the resize's own cost)
         return resize_bilinear_align_corners(x, H, W).astype(jnp.float32).sum()
 
+    def regression_resize_matmul(x, p):
+        from fast3r_tpu.ops.resize import _resize_matmul
+        return _resize_matmul(x, H, W).astype(jnp.float32).sum()
+
     if "regression" in probes:
         results["regression"] = timed(regression, path1_in, params)
         print("regression", round(results["regression"], 5), flush=True)
@@ -147,6 +151,11 @@ def main():
         results["regression_resize"] = timed(regression_resize, path1_in, params)
         print("regression_resize", round(results["regression_resize"], 5),
               flush=True)
+    if "regression_resize_matmul" in probes:
+        results["regression_resize_matmul"] = timed(
+            regression_resize_matmul, path1_in, params)
+        print("regression_resize_matmul",
+              round(results["regression_resize_matmul"], 5), flush=True)
 
     print(json.dumps({k: round(v, 5) for k, v in results.items()}))
 

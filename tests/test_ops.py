@@ -151,3 +151,22 @@ def test_attention_entropy_scale_matches_reference():
     expected = hd ** -0.5 * (math.log(137) / math.log(20)) ** 0.5
     assert abs(cfg.attn_scale(is_training=False) - expected) < 1e-12
     assert abs(cfg.attn_scale(is_training=True) - hd ** -0.5) < 1e-12
+
+
+@pytest.mark.parametrize("shape,out_hw", [
+    ((2, 8, 12, 5), (16, 24)),
+    ((1, 16, 24, 3), (7, 9)),    # downsample
+    ((1, 5, 5, 2), (10, 13)),
+    ((1, 1, 4, 2), (3, 8)),      # degenerate in_size=1 axis
+    ((1, 4, 4, 2), (1, 4)),      # degenerate out_size=1 axis
+])
+def test_bilinear_gather_matches_matmul_form(shape, out_hw):
+    """The gather+lerp default and the dense-matrix formulation share their
+    tap/weight math (ops/resize.py) — fp32 results agree to rounding."""
+    from fast3r_tpu.ops.resize import _resize_matmul
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    a = np.asarray(resize_bilinear_align_corners(x, *out_hw))
+    b = np.asarray(_resize_matmul(x, *out_hw))
+    np.testing.assert_allclose(a, b, atol=1e-6)
