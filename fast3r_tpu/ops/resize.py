@@ -51,11 +51,11 @@ def _interp_taps(out_size: int, in_size: int):
 
 
 def _resize_matmul(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
-    """Dense-matrix formulation (two MXU matmuls).  Kept for comparison and
-    as the building block of resize_bicubic_torch below; on TPU the einsum
-    contraction over a non-minor spatial dim costs full-array HBM relayout
-    passes around each matmul — measured 1.85 ms for (4,192,256,128)->(384,
-    512) where pure bandwidth is ~0.3 ms (scripts/bench_head.py, r3)."""
+    """Dense-matrix formulation (two MXU matmuls).  1.85 ms for
+    (4,192,256,128)->(384,512) where pure bandwidth is ~0.3 ms — but still
+    3x FASTER than a static-index gather+lerp formulation (5.97 ms: TPU
+    gathers along non-minor axes lower to a serial row pipeline); both
+    measured in scripts/bench_head.py, r3."""
     _, h, w, _ = x.shape
     dtype = x.dtype
     if h != out_h:
@@ -72,11 +72,17 @@ def resize_bilinear_align_corners(
 ) -> jnp.ndarray:
     """Resize (B, H, W, C) -> (B, out_h, out_w, C), align_corners=True bilinear.
 
-    Formulated as two static-index gather+lerp passes (each output row/col is
-    a 2-tap combination of input rows/cols; the taps are trace-time numpy
-    constants, so XLA fuses each pass into one elementwise kernel with
-    gathered operands) — bandwidth-bound, no relayouts, no MXU detour.
-    Numerically identical taps/weights to the dense-matrix formulation."""
+    Dense interp-matrix matmuls (see _resize_matmul): measured fastest of
+    the formulations tried on TPU (a static-index gather+lerp variant,
+    _resize_gather, is 3x slower — non-minor-axis gathers lower badly)."""
+    return _resize_matmul(x, out_h, out_w)
+
+
+def _resize_gather(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Static 2-tap gather+lerp formulation.  Kept for measurement: LOSES to
+    the matmul form on TPU (5.97 vs 1.81 ms at (4,192,256,128)->(384,512),
+    scripts/bench_head.py r3) because jnp.take along a non-minor axis
+    lowers to a serial gather pipeline, not a fused elementwise kernel."""
     _, h, w, _ = x.shape
     dtype = x.dtype
     if h != out_h:

@@ -157,6 +157,42 @@ def main():
         print("regression_resize_matmul",
               round(results["regression_resize_matmul"], 5), flush=True)
 
+    # batched-b dot variants: broadcasting the interp matrix over b makes b a
+    # dot BATCH dim, so outputs come out (b, ...)-leading with no minor-dim
+    # transpose; the one middle transpose lands on the small intermediate
+    # when the w pass runs first.
+    from fast3r_tpu.ops.resize import _interp_matrix
+
+    def rs_wfirst_batched(x, p):
+        b, h, w, c = x.shape
+        Mw = jnp.asarray(_interp_matrix(W, w), x.dtype)
+        Mh = jnp.asarray(_interp_matrix(H, h), x.dtype)
+        y = jax.lax.dot_general(jnp.broadcast_to(Mw, (b, W, w)), x,
+                                (((2,), (2,)), ((0,), (0,))))  # (b, W, h, c)
+        y = y.transpose(0, 2, 1, 3)                            # (b, h, W, c)
+        z = jax.lax.dot_general(jnp.broadcast_to(Mh, (b, H, h)),
+                                y.reshape(b, h, W * c),
+                                (((2,), (1,)), ((0,), (0,))))  # (b, H, W*c)
+        return z.reshape(b, H, W, c).astype(jnp.float32).sum()
+
+    def rs_hfirst_batched(x, p):
+        b, h, w, c = x.shape
+        Mw = jnp.asarray(_interp_matrix(W, w), x.dtype)
+        Mh = jnp.asarray(_interp_matrix(H, h), x.dtype)
+        y = jax.lax.dot_general(jnp.broadcast_to(Mh, (b, H, h)),
+                                x.reshape(b, h, w * c),
+                                (((2,), (1,)), ((0,), (0,))))  # (b, H, w*c)
+        y = y.reshape(b, H, w, c)
+        z = jax.lax.dot_general(jnp.broadcast_to(Mw, (b, W, w)), y,
+                                (((2,), (2,)), ((0,), (0,))))  # (b, W, H, c)
+        return z.transpose(0, 2, 1, 3).astype(jnp.float32).sum()
+
+    for key, f in (("rs_wfirst_batched", rs_wfirst_batched),
+                   ("rs_hfirst_batched", rs_hfirst_batched)):
+        if key in probes:
+            results[key] = timed(f, path1_in, params)
+            print(key, round(results[key], 5), flush=True)
+
     print(json.dumps({k: round(v, 5) for k, v in results.items()}))
 
 

@@ -161,12 +161,13 @@ def test_attention_entropy_scale_matches_reference():
     ((1, 4, 4, 2), (1, 4)),      # degenerate out_size=1 axis
 ])
 def test_bilinear_gather_matches_matmul_form(shape, out_hw):
-    """The gather+lerp default and the dense-matrix formulation share their
-    tap/weight math (ops/resize.py) — fp32 results agree to rounding."""
-    from fast3r_tpu.ops.resize import _resize_matmul
+    """The gather+lerp formulation (kept for measurement) and the dense-matrix
+    default share their tap/weight math (ops/resize.py) — fp32 results agree
+    to rounding."""
+    from fast3r_tpu.ops.resize import _resize_gather
 
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
     a = np.asarray(resize_bilinear_align_corners(x, *out_hw))
-    b = np.asarray(_resize_matmul(x, *out_hw))
+    b = np.asarray(_resize_gather(x, *out_hw))
     np.testing.assert_allclose(a, b, atol=1e-6)
