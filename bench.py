@@ -47,8 +47,16 @@ REPEATS = 3
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
+
+    ap = argparse.ArgumentParser()
+    # 4 is the measured sweet spot (sweep r3: chunk 4 vs 5/10; 20 unchunked
+    # exceeds HBM at 512x384); kept as a flag for sweeps
+    ap.add_argument("--head-chunk", type=int, default=4)
+    cli = ap.parse_args()
 
     from fast3r_tpu.models.fast3r import Fast3RConfig, fast3r_forward, init_fast3r
     from fast3r_tpu.utils.flops import fast3r_forward_flops
@@ -72,7 +80,7 @@ def main():
         # chunk the DPT heads (reference: max_parallel_views_for_head=25,
         # fast3r.py:68) — unchunked, the head intermediates for 20 views at
         # 512x384 exceed single-chip HBM
-        out = fast3r_forward(p, cfg, x, head_chunk_views=4)
+        out = fast3r_forward(p, cfg, x, head_chunk_views=cli.head_chunk)
         return out["conf"].astype(jnp.float32).sum()
 
     def run_n(p, x, n):
