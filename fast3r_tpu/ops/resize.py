@@ -72,9 +72,21 @@ def resize_bilinear_align_corners(
 ) -> jnp.ndarray:
     """Resize (B, H, W, C) -> (B, out_h, out_w, C), align_corners=True bilinear.
 
-    Dense interp-matrix matmuls (see _resize_matmul): measured fastest of
-    the formulations tried on TPU (a static-index gather+lerp variant,
-    _resize_gather, is 3x slower — non-minor-axis gathers lower badly)."""
+    On TPU, bf16 4D shapes route to the manual-DMA pallas kernel
+    (ops/resize_kernel.py — the XLA formulations all pay relayout passes;
+    see _resize_matmul note); everything else uses the dense interp-matrix
+    matmuls (fastest XLA form — a static-index gather+lerp variant,
+    _resize_gather, is 3x slower: non-minor-axis gathers lower badly)."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        from fast3r_tpu.ops.resize_kernel import (
+            resize_bilinear_kernel,
+            resize_kernel_supported,
+        )
+
+        if resize_kernel_supported(x.shape, out_h, out_w, x.dtype):
+            return resize_bilinear_kernel(x, out_h, out_w)
     return _resize_matmul(x, out_h, out_w)
 
 
