@@ -61,26 +61,30 @@ def _round_up(x: int, m: int) -> int:
 def _row_plan(h: int, out_h: int, rb: int):
     """Per-output-row-block input windows + weight blocks.
 
-    Returns (starts (nrb,) int32, mats (nrb, rb, rin) float32, rin).
-    Window rows are clamped so every block reads a full rin-row window
-    inside [0, h); the weight block is built against the clamped start, so
-    start + weights stay consistent by construction.
+    Returns (starts (nrb,) int32, mats (nrb, rb, rin) float32, rin), or
+    (None, None, 0) if no plan exists.  Mosaic requires HBM row slices to be
+    8-ALIGNED in both start and extent (caught on hardware, r3 — interpret
+    mode accepts anything), so windows are aligned down and padded up; that
+    needs h % 8 == 0 for the end-of-array clamp to stay aligned.
     """
+    if h % 8 or out_h % rb:
+        return None, None, 0
     lo, hi, frac = _interp_taps(out_h, h)
     nrb = out_h // rb
     spans = [
-        int(hi[(b + 1) * rb - 1]) - int(lo[b * rb]) + 1 for b in range(nrb)
+        int(hi[(b + 1) * rb - 1]) - (int(lo[b * rb]) & ~7) + 1
+        for b in range(nrb)
     ]
-    rin = min(_round_up(max(spans), 16), _round_up(h, 16))
-    if rin > h:
-        rin = h  # whole input fits the window; starts are all 0
+    rin = min(_round_up(max(spans), 8), h)
     starts = np.zeros(nrb, np.int32)
     mats = np.zeros((nrb, rb, rin), np.float32)
     for b in range(nrb):
-        s0 = max(0, min(int(lo[b * rb]), h - rin))
+        s0 = max(0, min(int(lo[b * rb]) & ~7, h - rin))
         starts[b] = s0
         for i in range(rb):
             o = b * rb + i
+            if int(hi[o]) - s0 >= rin:
+                return None, None, 0  # window cannot cover this block
             mats[b, i, int(lo[o]) - s0] += 1.0 - float(frac[o])
             mats[b, i, int(hi[o]) - s0] += float(frac[o])
     return starts, mats, rin
@@ -101,7 +105,7 @@ def _pick_rb(h: int, out_h: int, wc: int, pc: int, itemsize: int) -> int:
         if out_h % rb:
             continue
         _, _, rin = _row_plan(h, out_h, rb)
-        if rin > h:
+        if rin == 0:
             continue
         if _vmem_estimate(rb, rin, wc, pc, out_h // rb, itemsize) \
                 <= 12 * 1024 * 1024:
