@@ -141,8 +141,11 @@ def _resize_kern(starts_smem, x_hbm, mh_hbm, o_hbm,
     def in_dma(slot, u):
         bi = u // nrb
         rbi = jax.lax.rem(u, nrb)
+        # starts ride in SMEM divided by 8: the explicit *8 lets Mosaic PROVE
+        # the dynamic row offset is tile-aligned (a raw SMEM value fails
+        # "tile index divisible by tiling" even when every value is aligned)
         return pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(starts_smem[rbi], rin)],
+            x_hbm.at[bi, pl.ds(starts_smem[rbi] * 8, rin)],
             in_vmem.at[slot], in_sem.at[slot])
 
     def out_dma(u):
@@ -246,7 +249,7 @@ def resize_bilinear_kernel(x: jnp.ndarray, out_h: int, out_w: int):
             vmem_limit_bytes=VMEM_LIMIT,
         ),
         interpret=_interpret(),
-    )(jnp.asarray(starts), x.reshape(B, h, wc),
+    )(jnp.asarray(starts // 8), x.reshape(B, h, wc),
       jnp.asarray(mats, x.dtype))
     return out.reshape(B, out_h, out_w, c)
 
