@@ -124,6 +124,13 @@ def resize_kernel_supported(shape, out_h: int, out_w: int, dtype) -> bool:
         return False
     if w * c > MAX_LANES_IN or out_w * c > MAX_LANES_OUT:
         return False
+    # only worth it at regression-trunk scale: at the DPT fusion-block
+    # upsample shapes (h<=96 at c=256) the kernel LOSES to the XLA matmul
+    # form (head 'full' probe 8.18 vs 7.47 ms, scripts/bench_head.py r3) —
+    # per-call fixed cost plus a W pass whose unrolled per-column lerps
+    # don't amortize over few rows
+    if h * w * c < 192 * 256 * 128:
+        return False
     return _pick_rb(h, out_h, w * c, out_w * c, 2) > 0
 
 

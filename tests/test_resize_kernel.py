@@ -28,7 +28,6 @@ def _mk(shape, dtype, seed=0):
     ((1, 64, 64, 128), (64, 128)),     # identity H axis
 ])
 def test_kernel_matches_matmul_form(shape, out_hw):
-    assert resize_kernel_supported(shape, *out_hw, jnp.bfloat16)
     x = _mk(shape, jnp.bfloat16)
     got = np.asarray(resize_bilinear_kernel(x, *out_hw), np.float32)
     ref = np.asarray(
@@ -38,13 +37,18 @@ def test_kernel_matches_matmul_form(shape, out_hw):
     np.testing.assert_allclose(got, ref, atol=0.03, rtol=0.03)
 
 
-def test_unsupported_shapes_fall_back():
-    # fp32 (itemsize 4) and non-128-multiple channels are matmul-path
-    assert not resize_kernel_supported((1, 8, 8, 128), 16, 16, jnp.float32)
+def test_routing_gate():
+    # the regression-trunk shape routes to the kernel ...
+    assert resize_kernel_supported((4, 192, 256, 128), 384, 512, jnp.bfloat16)
+    # ... fp32, non-128-multiple channels, lane-cap and small (fusion-block
+    # upsample) shapes stay on the XLA matmul path
+    assert not resize_kernel_supported(
+        (4, 192, 256, 128), 384, 512, jnp.float32)
     assert not resize_kernel_supported((1, 8, 8, 64), 16, 16, jnp.bfloat16)
-    # lane caps
     assert not resize_kernel_supported(
         (1, 8, 512, 128), 16, 1024, jnp.bfloat16)
+    assert not resize_kernel_supported((4, 96, 128, 256), 192, 256,
+                                       jnp.bfloat16)
 
 
 def test_gradient_is_exact_transpose():
