@@ -64,6 +64,137 @@ def main():
         "batched": batched_attention,
     }
 
+    # diagnostic variants of the PACKED kernel (WRONG NUMERICS — cost
+    # attribution only): aligned = every head reads lane slice [0:64]
+    # (removes the 64-offset lane relayouts of odd heads); nosoftmax =
+    # scores go straight to PV (removes the VPU max/exp2 passes);
+    # dmaonly = q slab copied to out (DMA + loop floor).
+    def _mk_diag(aligned=False, nosoftmax=False, dmaonly=False):
+        import functools
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from fast3r_tpu.ops import batched_attention as ba
+
+        def kern(q_hbm, k_hbm, v_hbm, o_hbm, qkv_vmem, o_vmem, vext_vmem,
+                 in_sem, out_sem, *, nv, npg, g, n, d, scale):
+            gd = g * d
+
+            def in_dmas(slot, u):
+                vi = u // npg
+                lo = (u % npg) * gd
+                return tuple(
+                    pltpu.make_async_copy(
+                        ref.at[vi, :, pl.ds(lo, gd)],
+                        qkv_vmem.at[slot, i], in_sem.at[slot, i])
+                    for i, ref in enumerate((q_hbm, k_hbm, v_hbm)))
+
+            def out_dma(slot, u):
+                vi = u // npg
+                lo = (u % npg) * gd
+                return pltpu.make_async_copy(
+                    o_vmem.at[slot], o_hbm.at[vi, :, pl.ds(lo, gd)],
+                    out_sem.at[slot])
+
+            for u in range(ba.NSLOTS - 1):
+                for dma in in_dmas(u % ba.NSLOTS, u):
+                    dma.start()
+            vext_vmem[:, d:] = jnp.ones((n, d), vext_vmem.dtype)
+            sub = n // ba.SPLIT
+            ng = nv * npg
+
+            def body(u, _):
+                slot = jax.lax.rem(u, ba.NSLOTS)
+                pre = u + ba.NSLOTS - 1
+
+                @pl.when(pre < ng)
+                def _prefetch():
+                    for dma in in_dmas(jax.lax.rem(pre, ba.NSLOTS), pre):
+                        dma.start()
+
+                for dma in in_dmas(slot, u):
+                    dma.wait()
+
+                @pl.when(u >= ba.NSLOTS)
+                def _reclaim():
+                    out_dma(slot, u - ba.NSLOTS).wait()
+
+                if dmaonly:
+                    o_vmem[slot] = qkv_vmem[slot, 0]
+                else:
+                    for gi in range(g):
+                        sl = slice(0, d) if aligned \
+                            else slice(gi * d, (gi + 1) * d)
+                        q = qkv_vmem[slot, 0, :, sl]
+                        vext_vmem[:, :d] = qkv_vmem[slot, 2, :, sl]
+                        parts = []
+                        for j in range(ba.SPLIT):
+                            k = qkv_vmem[slot, 1, j * sub:(j + 1) * sub, sl]
+                            s = jax.lax.dot_general(
+                                q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            ) * (scale * ba.LOG2E)
+                            if nosoftmax:
+                                m_j = jnp.zeros((n, 1), jnp.float32)
+                                p = s.astype(vext_vmem.dtype)
+                            else:
+                                m_j = jnp.max(s, axis=-1, keepdims=True)
+                                p = jnp.exp2(s - m_j).astype(vext_vmem.dtype)
+                            acc_j = jax.lax.dot_general(
+                                p, vext_vmem[j * sub:(j + 1) * sub],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                            parts.append((m_j, acc_j))
+                        m = parts[0][0]
+                        for m_j, _ in parts[1:]:
+                            m = jnp.maximum(m, m_j)
+                        acc = parts[0][1] * jnp.exp2(parts[0][0] - m)
+                        for m_j, acc_j in parts[1:]:
+                            acc = acc + acc_j * jnp.exp2(m_j - m)
+                        o_vmem[slot, :, gi * d:(gi + 1) * d] = (
+                            acc[:, :d] / acc[:, d:d + 1]).astype(o_vmem.dtype)
+                out_dma(slot, u).start()
+                return 0
+
+            jax.lax.fori_loop(0, ng, body, 0)
+            for i in range(min(ba.NSLOTS, ng)):
+                u = ng - 1 - i
+                out_dma(u % ba.NSLOTS, u).wait()
+
+        def run(q, k, v, s):
+            Bq, Nq, Hq, Dq = q.shape
+            g = ba._pick_pgroup(Hq, Nq, q.dtype.itemsize, Dq)
+            npg = Hq // g
+            qp, kp, vp = (t.reshape(Bq, Nq, Hq * Dq) for t in (q, k, v))
+            out = pl.pallas_call(
+                functools.partial(kern, nv=Bq, npg=npg, g=g, n=Nq, d=Dq,
+                                  scale=float(s)),
+                grid=(1,),
+                in_specs=[pl.BlockSpec(
+                    memory_space=pltpu.MemorySpace.HBM)] * 3,
+                out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                out_shape=jax.ShapeDtypeStruct((Bq, Nq, Hq * Dq), q.dtype),
+                scratch_shapes=[
+                    pltpu.VMEM((ba.NSLOTS, 3, Nq, g * Dq), q.dtype),
+                    pltpu.VMEM((ba.NSLOTS, Nq, g * Dq), q.dtype),
+                    pltpu.VMEM((Nq, 2 * Dq), q.dtype),
+                    pltpu.SemaphoreType.DMA((ba.NSLOTS, 3)),
+                    pltpu.SemaphoreType.DMA((ba.NSLOTS,)),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",)),
+            )(qp, kp, vp)
+            return out.reshape(Bq, Nq, Hq, Dq)
+
+        return run
+
+    impls.update({
+        "packed_aligned": _mk_diag(aligned=True),
+        "packed_nosoftmax": _mk_diag(nosoftmax=True),
+        "packed_dmaonly": _mk_diag(dmaonly=True),
+    })
+
     for name, impl in impls.items():
         key = f"op_{name}"
         if key not in probes:
