@@ -195,6 +195,27 @@ def main():
         "packed_dmaonly": _mk_diag(dmaonly=True),
     })
 
+    # slot-ring depth sweep on the production packed kernel: diagnostics
+    # show ~10 us/unit of unhidden DMA wait at NSLOTS=2 (op_packed_dmaonly
+    # 0.56 ms vs the 0.154 ms bandwidth floor); deeper rings trade VMEM for
+    # prefetch distance.  Monkeypatched constants are restored after tracing.
+    def _mk_depth(nslots, budget):
+        from fast3r_tpu.ops import batched_attention as ba
+
+        def run(q, k, v, s):
+            old = ba.NSLOTS, ba.VMEM_BUDGET
+            ba.NSLOTS, ba.VMEM_BUDGET = nslots, budget
+            try:
+                return ba._packed_bnhd(q, k, v, float(s))
+            finally:
+                ba.NSLOTS, ba.VMEM_BUDGET = old
+        return run
+
+    impls.update({
+        "packed_ns3": _mk_depth(3, 14 * 1024 * 1024),
+        "packed_ns4g4": _mk_depth(4, 11 * 1024 * 1024),
+    })
+
     for name, impl in impls.items():
         key = f"op_{name}"
         if key not in probes:
