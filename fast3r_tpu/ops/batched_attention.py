@@ -53,6 +53,11 @@ from jax.experimental.pallas import tpu as pltpu
 from fast3r_tpu.ops.flash_attention import LOG2E, _interpret
 
 NSLOTS = 2
+NSLOTS_PACKED = 4  # deeper ring for the packed kernel: at NSLOTS=2 the
+                   # per-unit DMA waits leave ~10 us/unit unhidden (same-run
+                   # sweep, scripts/bench_batched_attn.py: ns2/g8 0.99 ms,
+                   # ns3/g8 1.02, ns4/g4 0.87 at (20,768,16,64)); 4 slots of
+                   # 4-head slabs fit the VMEM budget and hide the latency
 SPLIT = 2
 GROUP = 4  # head units DMA'd + computed per loop iteration (r3: amortizes
            # the per-unit DMA waits / scalar loop overhead that dominated the
@@ -271,7 +276,7 @@ _batched_bnhd.defvjp(_batched_bnhd_fwd, _batched_bnhd_bwd)
 
 def _vmem_estimate_packed(n: int, itemsize: int, g: int, d: int) -> int:
     slab = g * d
-    tiles = NSLOTS * 4 * n * slab * itemsize          # q/k/v/o slot rings
+    tiles = NSLOTS_PACKED * 4 * n * slab * itemsize          # q/k/v/o slot rings
     vext = n * (2 * d) * itemsize                     # ones-extended v tile
     scores = n * (n // SPLIT) * (4 + itemsize) * SPLIT
     acc = n * (2 * d) * 4
@@ -304,7 +309,7 @@ def _packed_kernel(q_hbm, k_hbm, v_hbm, o_hbm,
                    *, nv: int, npg: int, g: int, n: int, d: int,
                    scale: float):
     """One program; fori_loop over NV*NPG units (view vi, head-group gi).
-    Same NSLOTS ring schedule as _batched_kernel; the DMA src/dst are lane
+    Same NSLOTS_PACKED ring schedule as _batched_kernel; the DMA src/dst are lane
     sub-slices of the (B, N, H*D) HBM arrays."""
     gd = g * d
 
@@ -327,8 +332,8 @@ def _packed_kernel(q_hbm, k_hbm, v_hbm, o_hbm,
                                      o_hbm.at[vi, :, pl.ds(lo, gd)],
                                      out_sem.at[slot])
 
-    for u in range(NSLOTS - 1):
-        for dma in in_dmas(u % NSLOTS, u):
+    for u in range(NSLOTS_PACKED - 1):
+        for dma in in_dmas(u % NSLOTS_PACKED, u):
             dma.start()
 
     # ones extension lanes never change — fill once
@@ -338,20 +343,20 @@ def _packed_kernel(q_hbm, k_hbm, v_hbm, o_hbm,
     ng = nv * npg
 
     def body(u, _):
-        slot = jax.lax.rem(u, NSLOTS)
-        pre = u + NSLOTS - 1
+        slot = jax.lax.rem(u, NSLOTS_PACKED)
+        pre = u + NSLOTS_PACKED - 1
 
         @pl.when(pre < ng)
         def _prefetch():
-            for dma in in_dmas(jax.lax.rem(pre, NSLOTS), pre):
+            for dma in in_dmas(jax.lax.rem(pre, NSLOTS_PACKED), pre):
                 dma.start()
 
         for dma in in_dmas(slot, u):
             dma.wait()
 
-        @pl.when(u >= NSLOTS)
+        @pl.when(u >= NSLOTS_PACKED)
         def _reclaim():
-            out_dma(slot, u - NSLOTS).wait()
+            out_dma(slot, u - NSLOTS_PACKED).wait()
 
         for gi in range(g):
             q = qkv_vmem[slot, 0, :, gi * d:(gi + 1) * d]  # (N, d)
@@ -387,9 +392,9 @@ def _packed_kernel(q_hbm, k_hbm, v_hbm, o_hbm,
 
     jax.lax.fori_loop(0, ng, body, 0)
 
-    for i in range(min(NSLOTS, ng)):
+    for i in range(min(NSLOTS_PACKED, ng)):
         u = ng - 1 - i
-        out_dma(u % NSLOTS, u).wait()
+        out_dma(u % NSLOTS_PACKED, u).wait()
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -406,11 +411,11 @@ def _packed_bnhd(q, k, v, scale):
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         out_shape=jax.ShapeDtypeStruct((B, N, H * D), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((NSLOTS, 3, N, g * D), q.dtype),
-            pltpu.VMEM((NSLOTS, N, g * D), q.dtype),
+            pltpu.VMEM((NSLOTS_PACKED, 3, N, g * D), q.dtype),
+            pltpu.VMEM((NSLOTS_PACKED, N, g * D), q.dtype),
             pltpu.VMEM((N, 2 * D), q.dtype),
-            pltpu.SemaphoreType.DMA((NSLOTS, 3)),
-            pltpu.SemaphoreType.DMA((NSLOTS,)),
+            pltpu.SemaphoreType.DMA((NSLOTS_PACKED, 3)),
+            pltpu.SemaphoreType.DMA((NSLOTS_PACKED,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
