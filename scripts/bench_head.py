@@ -193,6 +193,139 @@ def main():
             results[key] = timed(f, path1_in, params)
             print(key, round(results[key], 5), flush=True)
 
+    # pallas resize-kernel decomposition (WRONG NUMERICS, cost attribution):
+    # dmaonly = in tile copied out; noW = H matmul then duplicate; full =
+    # production kernel (ops/resize_kernel.py)
+    def _mk_rs_diag(do_h, do_w):
+        import functools as ft
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from fast3r_tpu.ops import resize_kernel as rk
+
+        def kern(starts_smem, x_hbm, mh_hbm, o_hbm, in_vmem, y_vmem, o_vmem,
+                 mh_vmem, in_sem, out_sem, mh_sem,
+                 *, nb, nrb, rb, rin, w, c, p_taps, dtype):
+            nu = nb * nrb
+            mh_dma = pltpu.make_async_copy(mh_hbm, mh_vmem, mh_sem)
+            mh_dma.start()
+
+            def in_dma(slot, u):
+                bi = u // nrb
+                rbi = jax.lax.rem(u, nrb)
+                return pltpu.make_async_copy(
+                    x_hbm.at[bi, pl.ds(starts_smem[rbi] * 8, rin)],
+                    in_vmem.at[slot], in_sem.at[slot])
+
+            def out_dma(u):
+                return pltpu.make_async_copy(
+                    o_vmem,
+                    o_hbm.at[u // nrb, pl.ds(jax.lax.rem(u, nrb) * rb, rb)],
+                    out_sem)
+
+            for u in range(rk.NSLOTS - 1):
+                in_dma(u % rk.NSLOTS, u).start()
+            mh_dma.wait()
+
+            def body(u, _):
+                slot = jax.lax.rem(u, rk.NSLOTS)
+                pre = u + rk.NSLOTS - 1
+
+                @pl.when(pre < nu)
+                def _prefetch():
+                    in_dma(jax.lax.rem(pre, rk.NSLOTS), pre).start()
+
+                in_dma(slot, u).wait()
+                rbi = jax.lax.rem(u, nrb)
+                mh = mh_vmem[rbi]
+                if do_h:
+                    cc = min(w * c, 8 * 1024)
+                    for j in range(0, w * c, cc):
+                        y_vmem[:, j:j + cc] = jax.lax.dot_general(
+                            mh, in_vmem[slot, :, j:j + cc],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ).astype(dtype)
+                else:
+                    y_vmem[:, :] = in_vmem[slot, :rb]
+
+                @pl.when(u >= 1)
+                def _reclaim():
+                    out_dma(u - 1).wait()
+
+                if do_w:
+                    one = jnp.asarray(1.0, dtype)
+                    for p, (lw, hw, f) in enumerate(p_taps):
+                        ylo = y_vmem[:, lw * c:(lw + 1) * c]
+                        if f == 0.0 or hw == lw:
+                            o_vmem[:, p * c:(p + 1) * c] = ylo
+                        else:
+                            yhi = y_vmem[:, hw * c:(hw + 1) * c]
+                            fb = jnp.asarray(f, dtype)
+                            o_vmem[:, p * c:(p + 1) * c] = \
+                                ylo * (one - fb) + yhi * fb
+                else:
+                    o_vmem[:, :w * c] = y_vmem
+                    o_vmem[:, w * c:] = y_vmem
+                out_dma(u).start()
+                return 0
+
+            jax.lax.fori_loop(0, nu, body, 0)
+            out_dma(nu - 1).wait()
+
+        def run(x, out_h, out_w):
+            B, h, w_, c = x.shape
+            wc, pc = w_ * c, out_w * c
+            rb = rk._pick_rb(h, out_h, wc, pc, x.dtype.itemsize)
+            starts, mats, rin = rk._row_plan(h, out_h, rb)
+            nrb = out_h // rb
+            from fast3r_tpu.ops.resize import _interp_taps
+            lo_w, hi_w, frac_w = _interp_taps(out_w, w_)
+            p_taps = tuple((int(lo_w[p]), int(hi_w[p]), float(frac_w[p]))
+                           for p in range(out_w))
+            out = pl.pallas_call(
+                ft.partial(kern, nb=B, nrb=nrb, rb=rb, rin=rin, w=w_, c=c,
+                           p_taps=p_taps, dtype=x.dtype),
+                grid=(1,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                    pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                ],
+                out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                out_shape=jax.ShapeDtypeStruct((B, out_h, pc), x.dtype),
+                scratch_shapes=[
+                    pltpu.VMEM((rk.NSLOTS, rin, wc), x.dtype),
+                    pltpu.VMEM((rb, wc), x.dtype),
+                    pltpu.VMEM((rb, pc), x.dtype),
+                    pltpu.VMEM((nrb, rb, rin), x.dtype),
+                    pltpu.SemaphoreType.DMA((rk.NSLOTS,)),
+                    pltpu.SemaphoreType.DMA,
+                    pltpu.SemaphoreType.DMA,
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",),
+                    vmem_limit_bytes=rk.VMEM_LIMIT,
+                ),
+            )(jnp.asarray(starts // 8), x.reshape(B, h, wc),
+              jnp.asarray(mats, x.dtype))
+            return out.reshape(B, out_h, out_w, c)
+
+        return run
+
+    rs_diags = {
+        "rsk_dmaonly": _mk_rs_diag(False, False),
+        "rsk_noW": _mk_rs_diag(True, False),
+        "rsk_noH": _mk_rs_diag(False, True),
+    }
+    for key, f in rs_diags.items():
+        if key not in probes:
+            continue
+        g = lambda x, p, f=f: f(x, H, W).astype(jnp.float32).sum()
+        results[key] = timed(g, path1_in, params)
+        print(key, round(results[key], 5), flush=True)
+
     print(json.dumps({k: round(v, 5) for k, v in results.items()}))
 
 
