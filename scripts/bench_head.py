@@ -266,8 +266,8 @@ def main():
                             o_vmem[:, p * c:(p + 1) * c] = \
                                 ylo * (one - fb) + yhi * fb
                 else:
-                    o_vmem[:, :w * c] = y_vmem
-                    o_vmem[:, w * c:] = y_vmem
+                    o_vmem[:, :w * c] = y_vmem[...]
+                    o_vmem[:, w * c:] = y_vmem[...]
                 out_dma(u).start()
                 return 0
 
