@@ -94,21 +94,25 @@ def _vmem_estimate(rb: int, rin: int, wc: int, pc: int, nrb: int,
                    itemsize: int) -> int:
     tiles = NSLOTS * rin * wc * itemsize      # input row-window ring
     y = rb * wc * itemsize                    # H-pass result
-    acc = rb * min(wc, 8 * 1024) * 4          # fp32 dot accumulator (chunked)
+    acc = rb * min(wc, 4 * 1024) * 4          # fp32 dot accumulator (chunked)
     out = rb * pc * itemsize                  # single-buffered output tile
     mats = nrb * rb * rin * itemsize
     return tiles + y + acc + out + mats
 
 
 def _pick_rb(h: int, out_h: int, wc: int, pc: int, itemsize: int) -> int:
-    for rb in (64, 32, 16, 8):
+    # prefer the LARGEST block that fits: the kernel is DMA-wait-bound
+    # (~30 us/block of issue/wait latency vs ~7 us of bytes at the headline
+    # shape — the dmaonly probe in scripts/bench_head.py equals the full
+    # kernel), so fewer/bigger blocks win as long as VMEM holds them
+    for rb in (64, 48, 32, 16, 8):
         if out_h % rb:
             continue
         _, _, rin = _row_plan(h, out_h, rb)
         if rin == 0:
             continue
         if _vmem_estimate(rb, rin, wc, pc, out_h // rb, itemsize) \
-                <= 12 * 1024 * 1024:
+                <= 15 * 1024 * 1024:
             return rb
     return 0
 
@@ -180,7 +184,7 @@ def _resize_kern(starts_smem, x_hbm, mh_hbm, o_hbm,
         mh = mh_vmem[rbi]  # (rb, rin)
 
         # H pass: one MXU matmul per lane chunk, fp32 accumulate
-        cc = min(w * c, 8 * 1024)
+        cc = min(w * c, 4 * 1024)
         for j in range(0, w * c, cc):
             y_vmem[:, j:j + cc] = jax.lax.dot_general(
                 mh, in_vmem[slot, :, j:j + cc],
