@@ -208,11 +208,13 @@ def main_staged(args):
 
     def full_pass():
         t0 = time.perf_counter()
+        phases = {}
         hooks = {}
         if args.host_hooks:
             # encoder chunks land on host immediately; fused re-uploads once
             host_chunks = [to_host(encode(params, imgs[i:i + ec]))
                            for i in range(0, V, ec)]
+            phases["encoder"] = time.perf_counter() - t0
             fused_host = np.concatenate(host_chunks, axis=1)
             del host_chunks
             hooks[0] = fused_host
@@ -220,18 +222,27 @@ def main_staged(args):
         else:
             chunks = [sync(encode(params, imgs[i:i + ec]))
                       for i in range(0, V, ec)]
+            phases["encoder"] = time.perf_counter() - t0
             fused = jnp.concatenate(chunks, axis=1)
             hooks[0] = fused
             x = sync(embed(params, fused))
+        t1 = time.perf_counter()
+        phases["embed"] = t1 - t0 - phases["encoder"]
+        spill = 0.0
         for a, b in segments:
             x = sync(run_segment(a, b, x))
             if b in dcfg.hooks and b != dcfg.depth:
+                ts = time.perf_counter()
                 hooks[b] = to_host(x) if args.host_hooks else x
+                spill += time.perf_counter() - ts
         hooks[dcfg.depth] = (to_host(final_norm(params, x))
                              if args.host_hooks
                              else sync(final_norm(params, x)))
         if args.host_hooks:
             del x
+        t2 = time.perf_counter()
+        phases["decoder"] = t2 - t1 - spill
+        phases["hook_spill"] = spill
         conf_sum = 0.0
         for start in range(0, V, cv):
             toks = tuple(
@@ -242,6 +253,9 @@ def main_staged(args):
             )
             out = run_head_chunk(params, toks)
             conf_sum += float(np.asarray(out[1].astype(jnp.float32).sum()))
+        phases["heads"] = time.perf_counter() - t2
+        print("phases", json.dumps({k: round(v, 1) for k, v in
+                                    phases.items()}), flush=True)
         return time.perf_counter() - t0, conf_sum
 
     t_compile, _ = full_pass()
