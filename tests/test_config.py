@@ -115,3 +115,25 @@ def test_scaling_presets_load(preset):
     for expr in (cfg["data"]["train_datasets"]
                  + cfg["data"]["validation_datasets"]):
         validate_dataset_spec(expr)
+
+
+def test_flagship_attention_routing():
+    """Regression: Fast3RConfig.flagship(attn_impl="pallas") must keep the
+    encoder on its "batched" kernel default — the r3 40.45 headline silently
+    ran XLA encoder attention because the decoder's impl argument clobbered
+    it to "auto" (fixed r3; models/fast3r.py flagship docstring)."""
+    import jax.numpy as jnp
+
+    from fast3r_tpu.models.fast3r import Fast3RConfig
+    from fast3r_tpu.ops.batched_attention import packed_attention_supported
+
+    cfg = Fast3RConfig.flagship()          # default TPU impl
+    assert cfg.encoder.attn_impl == "batched"
+    assert cfg.decoder.attn_impl == "pallas"
+    # explicit overrides still propagate to both
+    cfg_x = Fast3RConfig.flagship(attn_impl="xla")
+    assert cfg_x.encoder.attn_impl == "xla"
+    assert cfg_x.decoder.attn_impl == "xla"
+    # the flagship encoder shape (20 views @ 512x384 -> N=768, H=16, D=64,
+    # bf16) is served by the zero-relayout packed kernel
+    assert packed_attention_supported((20, 768, 16, 64), jnp.bfloat16)
