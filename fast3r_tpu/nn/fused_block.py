@@ -94,15 +94,18 @@ def _rms_f32(x, gamma, eps):
     return y.astype(x.dtype) * gamma.astype(x.dtype)
 
 
-def _pick_bm(m: int, k: int, n: int, w_bytes: int, itemsize: int) -> int:
+def _pick_bm(m: int, k: int, n: int, w_bytes: int, itemsize: int,
+             extra_row_bytes: int = 0) -> int:
     """Rows per program such that W (resident) + double-buffered x/out tiles +
-    fp32 LN intermediates stay inside the VMEM budget."""
+    fp32 LN intermediates stay inside the VMEM budget.  `extra_row_bytes`
+    models additional per-row streamed inputs (the rope tables of
+    ln_qkv_rope: 2 double-buffered (bm, k) tiles)."""
     best = 0
     bm = 8
     while bm <= 1024:
         if m % bm == 0:
             need = (w_bytes + 2 * bm * k * itemsize + 2 * bm * n * itemsize
-                    + 3 * bm * k * 4)
+                    + 3 * bm * k * 4 + bm * extra_row_bytes)
             if need <= VMEM_BUDGET:
                 best = bm
         bm += 8
@@ -418,6 +421,139 @@ def ln_qkv(x, gamma, beta, w, bias, eps: float):
     return _ln_qkv_p(x, gamma, beta, w, bias, eps)
 
 
+# ---------------------------------------------------------------------------
+# fused qkv + rope, packed (3, M, C) output (single-DMA attention feed)
+# ---------------------------------------------------------------------------
+
+def _rot_lanes(x, half: int):
+    """In-kernel rotate-half on flat lanes (see rope2d.rotate_half_lanes):
+    within every `half`-lane group [a | b] -> [-b | a], via two lane rotates
+    + a select (pltpu.roll takes non-negative shifts only).  x must be fp32:
+    Mosaic's tpu.dynamic_rotate has no sub-32-bit lowering (hardware-caught;
+    the callers rotate in fp32 post-matmul and round once at the end)."""
+    q = half // 2
+    L = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1) % half
+    return jnp.where(lane < q, -pltpu.roll(x, L - q, x.ndim - 1),
+                     pltpu.roll(x, q, x.ndim - 1))
+
+
+def _ln_qkv_rope_kernel(x_ref, g_ref, b_ref, w_ref, bias_ref, ct_ref, st_ref,
+                        o_ref, *, eps: float, c: int, half: int):
+    """LN -> qkv projection -> RoPE2D on q/k, emitting ONE packed (3, bm, C)
+    tile.  The rotation runs on the post-matmul values still in registers
+    (q/k are first rounded to the activation dtype, matching the plain
+    composition's ln_qkv -> apply_rope2d_bnhd rounding order), so the rope
+    costs no extra HBM pass and the packed layout feeds the attention
+    kernel's single strided DMA per unit (ops/batched_attention.py
+    packed_qkv_attention)."""
+    y = _ln_f32(x_ref[:], g_ref[:], b_ref[:], eps).astype(x_ref.dtype)
+    out = jax.lax.dot_general(
+        y, w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bias_ref[:].astype(jnp.float32)
+    ct = ct_ref[:].astype(jnp.float32)
+    st = st_ref[:].astype(jnp.float32)
+    # round q/k to the activation dtype first (the plain composition's
+    # ln_qkv -> rope rounding point), then rotate in fp32 (_rot_lanes)
+    q = out[:, :c].astype(o_ref.dtype).astype(jnp.float32)
+    k = out[:, c:2 * c].astype(o_ref.dtype).astype(jnp.float32)
+    o_ref[0] = (q * ct + _rot_lanes(q, half) * st).astype(o_ref.dtype)
+    o_ref[1] = (k * ct + _rot_lanes(k, half) * st).astype(o_ref.dtype)
+    o_ref[2] = out[:, 2 * c:].astype(o_ref.dtype)
+
+
+def _ln_qkv_rope_call(x, gamma, beta, w, bias, ct, st, eps: float, half: int,
+                      bm: int):
+    m, k = x.shape
+    n = w.shape[1]
+    c = n // 3
+    return pl.pallas_call(
+        functools.partial(_ln_qkv_rope_kernel, eps=eps, c=c, half=half),
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0)),
+            pl.BlockSpec((k,), lambda i: (0,)),
+            pl.BlockSpec((k,), lambda i: (0,)),
+            pl.BlockSpec((k, n), lambda i: (0, 0)),
+            pl.BlockSpec((n,), lambda i: (0,)),
+            pl.BlockSpec((bm, c), lambda i: (i, 0)),
+            pl.BlockSpec((bm, c), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((3, bm, c), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((3, m, c), x.dtype),
+        interpret=_interpret(),
+    )(x, gamma, beta, w, bias, ct, st)
+
+
+def _rope_flat(t, ct, st, half: int):
+    from fast3r_tpu.ops.rope2d import rotate_half_lanes
+
+    return t * ct + rotate_half_lanes(t, half) * st
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _ln_qkv_rope_p(x, gamma, beta, w, bias, ct, st, eps, half):
+    m, k = x.shape
+    bm = _pick_bm(m, k, w.shape[1], w.size * w.dtype.itemsize,
+                  x.dtype.itemsize,
+                  extra_row_bytes=4 * k * ct.dtype.itemsize)
+    return _ln_qkv_rope_call(x, gamma, beta, w, bias, ct, st, eps, half, bm)
+
+
+def _ln_qkv_rope_p_fwd(x, gamma, beta, w, bias, ct, st, eps, half):
+    y, u, mean, rstd = _ln_matmul_replay(x, gamma, beta, w, bias, eps, None)
+    c = w.shape[1] // 3
+    out = jnp.stack([
+        _rope_flat(y[:, :c], ct, st, half),
+        _rope_flat(y[:, c:2 * c], ct, st, half),
+        y[:, 2 * c:],
+    ])
+    return out, (x, gamma, beta, w, bias, u, mean, rstd, ct, st)
+
+
+def _ln_qkv_rope_p_bwd(eps, half, res, g):
+    x, gamma, beta, w, bias, u, mean, rstd, ct, st = res
+    # rope backward: P^T = -P and the quarter-periodic tables commute with P,
+    # so d/dq rope(q) applied to a cotangent is rope with negated sin
+    # (ops/rope2d.rotate_half_lanes docstring)
+    dq = _rope_flat(g[0], ct, -st, half)
+    dk = _rope_flat(g[1], ct, -st, half)
+    gcat = jnp.concatenate([dq, dk, g[2]], axis=1)
+    dx, dgamma, dbeta, dw, dbias = _ln_backward_xla(
+        x, gamma, beta, w, bias, u, mean, rstd, None, gcat, None)
+    return (dx, dgamma, dbeta, dw, dbias,
+            jnp.zeros_like(ct), jnp.zeros_like(st))
+
+
+_ln_qkv_rope_p.defvjp(_ln_qkv_rope_p_fwd, _ln_qkv_rope_p_bwd)
+
+
+def ln_qkv_rope(x, gamma, beta, w, bias, ct, st, num_heads: int, eps: float):
+    """LN(x) @ Wqkv with RoPE2D applied to q/k in-kernel, emitted as ONE
+    packed (3, M, C) array — the zero-relayout feed for
+    packed_qkv_attention's single strided DMA per unit.  ct/st are the flat
+    (M, C) lane tables from rope2d.expand_rope_tables (activation dtype).
+    Differentiable.  Returns None if the shapes don't tile."""
+    k = x.shape[1]
+    n = w.shape[1]
+    c = n // 3
+    if k % 128 or c % 128 or c != k or c % num_heads:
+        return None
+    half = (c // num_heads) // 2
+    if half % 2 or half > 128:
+        return None
+    if x.shape[0] != ct.shape[0] or ct.shape[1] != c:
+        return None
+    it = x.dtype.itemsize
+    if (_pick_bm(x.shape[0], k, n, w.size * w.dtype.itemsize, it,
+                 extra_row_bytes=4 * k * ct.dtype.itemsize) == 0
+            or _pick_bm_replay(x.shape[0], k, n, w.size * w.dtype.itemsize,
+                               it) == 0):
+        return None
+    return _ln_qkv_rope_p(x, gamma, beta, w, bias, ct, st, eps, half)
+
+
 def _rms_matmul_replay_kernel(x_ref, g_ref, w_ref,
                               o_ref, u_ref, rstd_ref, *refs,
                               eps: float, act: Optional[str]):
@@ -696,20 +832,41 @@ def _fused_block_impl(p, x, rope_cos_sin, num_heads, scale, attn_impl,
     hd = C // num_heads
     x2 = x.reshape(B * N, C)
 
-    qkv = ln_qkv(x2, p["norm1"]["scale"], p["norm1"]["bias"],
-                 p["attn"]["qkv"]["w"].astype(x.dtype),
-                 p["attn"]["qkv"]["b"].astype(x.dtype), ln_eps)
-    if qkv is None:
-        return None
-    q, k, v = (t.reshape(B, N, num_heads, hd) for t in qkv)
-    if rope_cos_sin is not None:
-        cos, sin = rope_cos_sin
-        q = _layers.apply_rope2d_bnhd(q, cos, sin)
-        k = _layers.apply_rope2d_bnhd(k, cos, sin)
-    if callable(attn_impl):
-        o = attn_impl(q, k, v, scale)
-    else:
-        o = _layers.dot_product_attention(q, k, v, scale=scale, impl=attn_impl)
+    o = None
+    if (attn_impl == "batched" and rope_cos_sin is not None
+            and len(rope_cos_sin) == 4):
+        # single-DMA road: rope folded into the qkv kernel, packed (3, M, C)
+        # output, one strided DMA per attention unit (run_vit_stack attaches
+        # the flat ct/st tables when this road is viable)
+        from fast3r_tpu.ops.batched_attention import (
+            packed_attention_supported, packed_qkv_attention)
+
+        if packed_attention_supported((B, N, num_heads, hd), x.dtype):
+            ct, st = rope_cos_sin[2], rope_cos_sin[3]
+            qkv3 = ln_qkv_rope(x2, p["norm1"]["scale"], p["norm1"]["bias"],
+                               p["attn"]["qkv"]["w"].astype(x.dtype),
+                               p["attn"]["qkv"]["b"].astype(x.dtype),
+                               ct, st, num_heads, ln_eps)
+            if qkv3 is not None:
+                o = packed_qkv_attention(qkv3.reshape(3, B, N, C), num_heads,
+                                         scale)  # (B, N, C)
+
+    if o is None:
+        qkv = ln_qkv(x2, p["norm1"]["scale"], p["norm1"]["bias"],
+                     p["attn"]["qkv"]["w"].astype(x.dtype),
+                     p["attn"]["qkv"]["b"].astype(x.dtype), ln_eps)
+        if qkv is None:
+            return None
+        q, k, v = (t.reshape(B, N, num_heads, hd) for t in qkv)
+        if rope_cos_sin is not None:
+            cos, sin = rope_cos_sin[0], rope_cos_sin[1]
+            q = _layers.apply_rope2d_bnhd(q, cos, sin)
+            k = _layers.apply_rope2d_bnhd(k, cos, sin)
+        if callable(attn_impl):
+            o = attn_impl(q, k, v, scale)
+        else:
+            o = _layers.dot_product_attention(q, k, v, scale=scale,
+                                              impl=attn_impl)
 
     x2 = matmul_residual(o.reshape(B * N, C),
                          p["attn"]["proj"]["w"].astype(x.dtype),

@@ -178,7 +178,7 @@ def attention_layer(
     qkv = linear(p["qkv"], x).reshape(B, N, 3, num_heads, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
     if rope_cos_sin is not None:
-        cos, sin = rope_cos_sin
+        cos, sin = rope_cos_sin[0], rope_cos_sin[1]  # tolerate the 4-tuple
         q = apply_rope2d_bnhd(q, cos, sin)
         k = apply_rope2d_bnhd(k, cos, sin)
     if callable(attn_impl):
@@ -261,6 +261,24 @@ def run_vit_stack(
     """
     if depth is None:
         depth = jax.tree.leaves(stacked)[0].shape[0]
+
+    if (fused and attn_impl == "batched" and rope_cos_sin is not None
+            and len(rope_cos_sin) == 2
+            and jax.default_backend() == "tpu"):
+        # viable single-DMA fused-qkv+rope road (nn/fused_block.py): expand
+        # the flat (M, C) rope lane tables ONCE for the whole stack (every
+        # block shares them) and pass the 4-tuple down
+        from fast3r_tpu.ops.batched_attention import (
+            packed_attention_supported)
+
+        B, N, C = x.shape
+        if packed_attention_supported((B, N, num_heads, C // num_heads),
+                                      x.dtype):
+            from fast3r_tpu.ops.rope2d import expand_rope_tables
+
+            ct, st = expand_rope_tables(rope_cos_sin[0], rope_cos_sin[1], C,
+                                        x.dtype)
+            rope_cos_sin = (rope_cos_sin[0], rope_cos_sin[1], ct, st)
 
     block = partial(
         vit_block, num_heads=num_heads, scale=scale, rope_cos_sin=rope_cos_sin,

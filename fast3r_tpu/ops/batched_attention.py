@@ -339,7 +339,6 @@ def _packed_kernel(q_hbm, k_hbm, v_hbm, o_hbm,
     # ones extension lanes never change — fill once
     vext_vmem[:, d:] = jnp.ones((n, d), vext_vmem.dtype)
 
-    sub = n // SPLIT
     ng = nv * npg
 
     def body(u, _):
@@ -358,35 +357,8 @@ def _packed_kernel(q_hbm, k_hbm, v_hbm, o_hbm,
         def _reclaim():
             out_dma(slot, u - NSLOTS_PACKED).wait()
 
-        for gi in range(g):
-            q = qkv_vmem[slot, 0, :, gi * d:(gi + 1) * d]  # (N, d)
-            vext_vmem[:, :d] = qkv_vmem[slot, 2, :, gi * d:(gi + 1) * d]
-            parts = []
-            for j in range(SPLIT):
-                k = qkv_vmem[slot, 1, j * sub:(j + 1) * sub,
-                             gi * d:(gi + 1) * d]  # (sub, d)
-                s = jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * (scale * LOG2E)  # (N, sub), log2 domain
-                m_j = jnp.max(s, axis=-1, keepdims=True)
-                p = jnp.exp2(s - m_j).astype(vext_vmem.dtype)
-                acc_j = jax.lax.dot_general(
-                    p, vext_vmem[j * sub:(j + 1) * sub],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (N, 2d): [:, :d] = p@v, [:, d:] = row-sum l replicated
-                parts.append((m_j, acc_j))
-
-            m = parts[0][0]
-            for m_j, _ in parts[1:]:
-                m = jnp.maximum(m, m_j)
-            acc = parts[0][1] * jnp.exp2(parts[0][0] - m)
-            for m_j, acc_j in parts[1:]:
-                acc = acc + acc_j * jnp.exp2(m_j - m)
-
-            o_vmem[slot, :, gi * d:(gi + 1) * d] = (
-                acc[:, :d] / acc[:, d:d + 1]).astype(o_vmem.dtype)
+        _packed_compute_slot(qkv_vmem, o_vmem, vext_vmem, slot, g, n, d,
+                             scale)
         out_dma(slot, u).start()
         return 0
 
@@ -395,6 +367,43 @@ def _packed_kernel(q_hbm, k_hbm, v_hbm, o_hbm,
     for i in range(min(NSLOTS_PACKED, ng)):
         u = ng - 1 - i
         out_dma(u % NSLOTS_PACKED, u).wait()
+
+
+def _packed_compute_slot(qkv_vmem, o_vmem, vext_vmem, slot, g, n, d, scale):
+    """Per-slot compute shared by the packed and fused-qkv kernels: for each
+    of the slot's g heads, lane-slice q/k/v from the (3, N, g*d) slab, run
+    the SPLIT-sub-chain partial softmax with the ones-extended-v MXU row
+    sum, and pack the normalized output back into the slot's o slab."""
+    sub = n // SPLIT
+    for gi in range(g):
+        q = qkv_vmem[slot, 0, :, gi * d:(gi + 1) * d]  # (N, d)
+        vext_vmem[:, :d] = qkv_vmem[slot, 2, :, gi * d:(gi + 1) * d]
+        parts = []
+        for j in range(SPLIT):
+            k = qkv_vmem[slot, 1, j * sub:(j + 1) * sub,
+                         gi * d:(gi + 1) * d]  # (sub, d)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (scale * LOG2E)  # (N, sub), log2 domain
+            m_j = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m_j).astype(vext_vmem.dtype)
+            acc_j = jax.lax.dot_general(
+                p, vext_vmem[j * sub:(j + 1) * sub],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (N, 2d): [:, :d] = p@v, [:, d:] = row-sum l replicated
+            parts.append((m_j, acc_j))
+
+        m = parts[0][0]
+        for m_j, _ in parts[1:]:
+            m = jnp.maximum(m, m_j)
+        acc = parts[0][1] * jnp.exp2(parts[0][0] - m)
+        for m_j, acc_j in parts[1:]:
+            acc = acc + acc_j * jnp.exp2(m_j - m)
+
+        o_vmem[slot, :, gi * d:(gi + 1) * d] = (
+            acc[:, :d] / acc[:, d:d + 1]).astype(o_vmem.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -437,6 +446,129 @@ def _packed_bnhd_bwd(scale, res, g):
 
 
 _packed_bnhd.defvjp(_packed_bnhd_fwd, _packed_bnhd_bwd)
+
+
+# ----------------------------------------------------------------------------
+# v3: fused-qkv single-DMA variant
+# ----------------------------------------------------------------------------
+#
+# The packed kernel above still issues THREE input DMAs (q, k, v) per unit —
+# at ~4 us of MXU work per head the per-DMA issue/wait latency is the
+# dominant cost (r3 ablations: dmaonly == full kernel).  When the qkv
+# projection emits the PACKED (3, B*N, C) layout (nn/fused_block.ln_qkv_rope,
+# which also folds RoPE in so q/k need no XLA pass between the projection
+# and the attention), one unit's q, k and v become a single strided region
+# of ONE HBM array: slice [:, vi, :, lo:lo+g*d] -> (3, N, g*d), one
+# make_async_copy, one semaphore wait.  Everything else (slot ring, lane
+# slicing, SPLIT sub-chain softmax, MXU row-sum, packed output) is shared
+# with the packed kernel via _packed_compute_slot.
+
+
+def _fusedqkv_kernel(qkv_hbm, o_hbm, qkv_vmem, o_vmem, vext_vmem,
+                     in_sem, out_sem,
+                     *, nv: int, npg: int, g: int, n: int, d: int,
+                     scale: float):
+    gd = g * d
+
+    def in_dma(slot, u):
+        vi = u // npg
+        lo = (u % npg) * gd
+        return pltpu.make_async_copy(qkv_hbm.at[:, vi, :, pl.ds(lo, gd)],
+                                     qkv_vmem.at[slot], in_sem.at[slot])
+
+    def out_dma(slot, u):
+        vi = u // npg
+        lo = (u % npg) * gd
+        return pltpu.make_async_copy(o_vmem.at[slot],
+                                     o_hbm.at[vi, :, pl.ds(lo, gd)],
+                                     out_sem.at[slot])
+
+    for u in range(NSLOTS_PACKED - 1):
+        in_dma(u % NSLOTS_PACKED, u).start()
+
+    vext_vmem[:, d:] = jnp.ones((n, d), vext_vmem.dtype)
+    ng = nv * npg
+
+    def body(u, _):
+        slot = jax.lax.rem(u, NSLOTS_PACKED)
+        pre = u + NSLOTS_PACKED - 1
+
+        @pl.when(pre < ng)
+        def _prefetch():
+            in_dma(jax.lax.rem(pre, NSLOTS_PACKED), pre).start()
+
+        in_dma(slot, u).wait()
+
+        @pl.when(u >= NSLOTS_PACKED)
+        def _reclaim():
+            out_dma(slot, u - NSLOTS_PACKED).wait()
+
+        _packed_compute_slot(qkv_vmem, o_vmem, vext_vmem, slot, g, n, d,
+                             scale)
+        out_dma(slot, u).start()
+        return 0
+
+    jax.lax.fori_loop(0, ng, body, 0)
+
+    for i in range(min(NSLOTS_PACKED, ng)):
+        u = ng - 1 - i
+        out_dma(u % NSLOTS_PACKED, u).wait()
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _fusedqkv_bnc(qkv3, num_heads, scale):
+    _, B, N, C = qkv3.shape
+    D = C // num_heads
+    g = _pick_pgroup(num_heads, N, qkv3.dtype.itemsize, D)
+    npg = num_heads // g
+    return pl.pallas_call(
+        functools.partial(_fusedqkv_kernel, nv=B, npg=npg, g=g, n=N, d=D,
+                          scale=float(scale)),
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), qkv3.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((NSLOTS_PACKED, 3, N, g * D), qkv3.dtype),
+            pltpu.VMEM((NSLOTS_PACKED, N, g * D), qkv3.dtype),
+            pltpu.VMEM((N, 2 * D), qkv3.dtype),
+            pltpu.SemaphoreType.DMA((NSLOTS_PACKED,)),
+            pltpu.SemaphoreType.DMA((NSLOTS_PACKED,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(qkv3)
+
+
+def _fusedqkv_fwd(qkv3, num_heads, scale):
+    return _fusedqkv_bnc(qkv3, num_heads, scale), (qkv3,)
+
+
+def _fusedqkv_bwd(num_heads, scale, res, gout):
+    (qkv3,) = res
+    _, B, N, C = qkv3.shape
+    D = C // num_heads
+
+    def f(t):
+        q, k, v = (t[i].reshape(B, N, num_heads, D) for i in range(3))
+        return _naive_reference(q, k, v, scale).reshape(B, N, C)
+
+    _, vjp = jax.vjp(f, qkv3)
+    return vjp(gout)
+
+
+_fusedqkv_bnc.defvjp(_fusedqkv_fwd, _fusedqkv_bwd)
+
+
+def packed_qkv_attention(qkv3: jnp.ndarray, num_heads: int,
+                         scale: float) -> jnp.ndarray:
+    """Self-attention over a packed (3, B, N, C) qkv array (q/k already
+    roped), returning (B, N, C) — the zero-relayout single-DMA-per-unit
+    road.  Caller must check `packed_attention_supported((B, N, H, C//H),
+    dtype)` first."""
+    return _fusedqkv_bnc(qkv3, num_heads, float(scale))
 
 
 def batched_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

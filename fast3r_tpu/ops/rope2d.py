@@ -22,6 +22,7 @@ unique position grid instead of once per layer.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -109,6 +110,46 @@ def apply_rope2d_bnhd(
     y = y * cy + _rotate_half(y) * sy
     x = x * cx + _rotate_half(x) * sx
     return jnp.concatenate([y, x], axis=-1).astype(dtype)
+
+
+def expand_rope_tables(cos: jnp.ndarray, sin: jnp.ndarray, dim: int,
+                       dtype) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Expand (B, N, 2, half) cos/sin tables to flat per-token lane tables
+    (B*N, dim) aligned with the (B*N, C) activation rows of the fused
+    qkv+rope kernel (nn/fused_block.ln_qkv_rope).
+
+    Lane l of head h = l // head_dim carries cos_y[l % head_dim] for the
+    y-half (first `half` lanes of the head) and cos_x for the x-half —
+    exactly the per-head broadcast of :func:`apply_rope2d_bnhd`.  The table
+    is head-uniform, so it tiles the (half*2)-lane per-head pattern across
+    all heads.
+    """
+    B, N, _, half = cos.shape
+    head = 2 * half
+    assert dim % head == 0, (dim, head)
+    reps = dim // head
+
+    def flat(t):
+        per_head = jnp.concatenate([t[:, :, 0, :], t[:, :, 1, :]], axis=-1)
+        return jnp.tile(per_head, (1, 1, reps)).reshape(B * N, dim)
+
+    return flat(cos).astype(dtype), flat(sin).astype(dtype)
+
+
+def rotate_half_lanes(x: jnp.ndarray, half: int) -> jnp.ndarray:
+    """The rotate-half permutation P applied directly on flat (…, C) lanes:
+    within every `half`-lane group [a | b] (quarter-lanes each) -> [-b | a].
+
+    Equals :func:`_rotate_half` applied per coordinate half of every head
+    when C lanes are the head-tiled layout of :func:`expand_rope_tables`.
+    P is antisymmetric (P^T = -P), and because the tables duplicate their
+    quarter blocks (cat(freqs, freqs)), P(s * g) == s * P(g) — which gives
+    the rope backward as a rope with negated sin.
+    """
+    q = half // 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1) % half
+    return jnp.where(lane < q, -jnp.roll(x, -q, axis=-1),
+                     jnp.roll(x, q, axis=-1))
 
 
 def apply_rope2d_positions(

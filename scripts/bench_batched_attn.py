@@ -227,6 +227,20 @@ def main():
         results[key] = timed(op, jnp.zeros((1,), jnp.bfloat16), qkv)
         print(key, round(results[key], 5), flush=True)
 
+    if "op_fusedqkv" in probes:
+        # single-DMA variant: one (3, B, N, C) array, one strided copy/unit
+        from fast3r_tpu.ops.batched_attention import packed_qkv_attention
+
+        qkv3 = qkv.reshape(3, B, N, H * D)
+
+        def op_fq(p, x):
+            return packed_qkv_attention(x, H, scale).astype(
+                jnp.float32).sum()
+
+        results["op_fusedqkv"] = timed(op_fq, jnp.zeros((1,), jnp.bfloat16),
+                                       qkv3)
+        print("op_fusedqkv", round(results["op_fusedqkv"], 5), flush=True)
+
     # full encoder-shaped stack: 24 fused blocks + rope, per attention impl
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16),
@@ -239,7 +253,12 @@ def main():
     pos = jnp.broadcast_to(pos[None], (B, N, 2))
     cos, sin = rope2d_cos_sin(pos, D, 100.0)
 
-    for name, impl in impls.items():
+    stack_impls = dict(impls)
+    # the string dispatch takes the fused qkv+rope single-DMA road when
+    # viable (run_vit_stack expands the lane tables); the `batched` callable
+    # entry above keeps exercising the 3-DMA packed kernel for A/B
+    stack_impls["qkv1dma"] = "batched"
+    for name, impl in stack_impls.items():
         key = f"stack_{name}"
         if key not in probes:
             continue

@@ -121,3 +121,51 @@ def test_packed_odd_head_counts_unsupported():
     from fast3r_tpu.ops.batched_attention import packed_attention_supported
 
     assert not packed_attention_supported((1, 64, 3, 64), jnp.float32)
+
+
+def test_fusedqkv_single_dma_matches_packed():
+    """The single-DMA fused-qkv kernel (packed_qkv_attention) computes the
+    same sub-chain softmax as the packed kernel from one (3, B, N, C)
+    array."""
+    from fast3r_tpu.ops.batched_attention import (
+        _packed_bnhd,
+        packed_attention_supported,
+        packed_qkv_attention,
+    )
+
+    B, N, H, D = 2, 128, 4, 64
+    shape = (B, N, H, D)
+    assert packed_attention_supported(shape, jnp.float32)
+    ks = jax.random.split(jax.random.key(6), 3)
+    q, k, v = (_mk(x, shape, jnp.float32) for x in ks)
+    scale = 0.125
+    qkv3 = jnp.stack([t.reshape(B, N, H * D) for t in (q, k, v)])
+    out = np.asarray(packed_qkv_attention(qkv3, H, scale))
+    ref = np.asarray(_packed_bnhd(q, k, v, scale)).reshape(B, N, H * D)
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+    naive = np.asarray(dot_product_attention(q, k, v, scale, impl="naive"))
+    np.testing.assert_allclose(out, naive.reshape(B, N, H * D),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fusedqkv_gradients_match_naive():
+    from fast3r_tpu.ops.batched_attention import packed_qkv_attention
+
+    B, N, H, D = 1, 64, 2, 64
+    ks = jax.random.split(jax.random.key(7), 3)
+    q, k, v = (_mk(x, (B, N, H, D), jnp.float32) for x in ks)
+    scale = D ** -0.5
+    qkv3 = jnp.stack([t.reshape(B, N, H * D) for t in (q, k, v)])
+
+    def loss_kernel(t):
+        return jnp.sum(jnp.sin(packed_qkv_attention(t, H, scale)))
+
+    def loss_naive(t):
+        qq, kk, vv = (t[i].reshape(B, N, H, D) for i in range(3))
+        o = dot_product_attention(qq, kk, vv, scale, impl="naive")
+        return jnp.sum(jnp.sin(o.reshape(B, N, H * D)))
+
+    g1 = jax.grad(loss_kernel)(qkv3)
+    g2 = jax.grad(loss_naive)(qkv3)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=2e-4, atol=2e-5)

@@ -203,3 +203,78 @@ def test_supported_gate_respects_dtype():
     cfg = LlamaDecoderConfig()
     assert fb.fused_llama_supported((1, 15360), cfg, itemsize=2)
     assert not fb.fused_llama_supported((1, 15360), cfg, itemsize=4)
+
+
+def test_ln_qkv_rope_matches_plain(block_setup):
+    """The fused qkv+rope kernel (packed (3, M, C) output, rope in-kernel)
+    matches ln -> qkv matmul -> apply_rope2d_bnhd."""
+    from fast3r_tpu.nn.layers import layernorm
+    from fast3r_tpu.ops.rope2d import (
+        apply_rope2d_bnhd, expand_rope_tables)
+
+    p, x = block_setup
+    hd = C // HEADS
+    pos = jnp.stack(jnp.meshgrid(jnp.arange(8), jnp.arange(16),
+                                 indexing="ij"), -1).reshape(-1, 2)
+    pos = jnp.broadcast_to(pos[None].astype(jnp.int32), (B, N, 2))
+    cos, sin = rope2d_cos_sin(pos, hd, 100.0)
+    ct, st = expand_rope_tables(cos, sin, C, x.dtype)
+
+    out = fb.ln_qkv_rope(x.reshape(-1, C), p["norm1"]["scale"],
+                         p["norm1"]["bias"], p["attn"]["qkv"]["w"],
+                         p["attn"]["qkv"]["b"], ct, st, HEADS, 1e-6)
+    assert out is not None
+
+    ln = layernorm(p["norm1"], x, 1e-6).reshape(-1, C)
+    qkv = (ln @ p["attn"]["qkv"]["w"] + p["attn"]["qkv"]["b"]).reshape(
+        B, N, 3, HEADS, hd)
+    qr = apply_rope2d_bnhd(qkv[:, :, 0], cos, sin).reshape(-1, C)
+    kr = apply_rope2d_bnhd(qkv[:, :, 1], cos, sin).reshape(-1, C)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(qr),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(kr),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out[2]), np.asarray(qkv[:, :, 2].reshape(-1, C)),
+        rtol=2e-5, atol=2e-5)
+
+
+def test_fused_block_packed_road_matches_plain(block_setup):
+    """Full fused block through the single-DMA road (4-tuple rope tables +
+    attn_impl='batched'): forward and gradients match the plain block."""
+    from fast3r_tpu.ops.rope2d import expand_rope_tables
+
+    p, x = block_setup
+    hd = C // HEADS
+    pos = jnp.stack(jnp.meshgrid(jnp.arange(8), jnp.arange(16),
+                                 indexing="ij"), -1).reshape(-1, 2)
+    pos = jnp.broadcast_to(pos[None].astype(jnp.int32), (B, N, 2))
+    cos, sin = rope2d_cos_sin(pos, hd, 100.0)
+    ct, st = expand_rope_tables(cos, sin, C, x.dtype)
+    scale = hd ** -0.5
+
+    def loss_plain(p_, x_):
+        return jnp.sum(jnp.sin(vit_block(
+            p_, x_, HEADS, scale, rope_cos_sin=(cos, sin),
+            attn_impl="naive")))
+
+    def loss_fused(p_, x_):
+        return jnp.sum(jnp.sin(fb.fused_vit_block(
+            p_, x_, (cos, sin, ct, st), HEADS, scale, "batched", 1e-6)))
+
+    ref = vit_block(p, x, HEADS, scale, rope_cos_sin=(cos, sin),
+                    attn_impl="naive")
+    out = fb.fused_vit_block(p, x, (cos, sin, ct, st), HEADS, scale,
+                             "batched", 1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    gp_ref, gx_ref = jax.grad(loss_plain, argnums=(0, 1))(p, x)
+    gp, gx = jax.grad(loss_fused, argnums=(0, 1))(p, x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=5e-4, atol=5e-4)
+    for path_ref, path_got in zip(
+            jax.tree.leaves_with_path(gp_ref), jax.tree.leaves_with_path(gp)):
+        np.testing.assert_allclose(
+            np.asarray(path_got[1]), np.asarray(path_ref[1]),
+            rtol=5e-4, atol=5e-4, err_msg=str(path_ref[0]))
