@@ -175,10 +175,28 @@ def dpt_head_forward(
     path2 = _fusion_block(rn[1], path3, layers[1])
     path1 = _fusion_block(rn[0], path2, layers[0])  # (B, H/2, W/2, 256)
 
-    x = conv2d(params["head"]["conv1"], path1, padding=[(1, 1), (1, 1)])
-    x = resize_bilinear_align_corners(x, H, W)
-    x = conv2d(params["head"]["conv2"], x, padding=[(1, 1), (1, 1)])
-    x = jax.nn.relu(x)
-    x = conv2d(params["head"]["conv3"], x, padding="VALID")  # (B, H, W, 4)
+    hp = params["head"]
+    x = None
+    if jax.default_backend() == "tpu":
+        # fused conv1 -> resize -> conv2 -> relu trunk (ops/trunk_kernel.py):
+        # the intermediates never touch HBM and the convs dodge XLA's
+        # in-context fusion-boundary relayouts
+        from fast3r_tpu.ops.trunk_kernel import (
+            fused_regression_trunk, trunk_kernel_supported)
+
+        if (hp["conv1"]["w"].shape[-1] == hp["conv2"]["w"].shape[-1]
+                and trunk_kernel_supported(path1.shape, H, W, path1.dtype,
+                                           c1=hp["conv1"]["w"].shape[-1])):
+            x = fused_regression_trunk(
+                path1, hp["conv1"]["w"].astype(path1.dtype),
+                hp["conv1"]["b"].astype(path1.dtype),
+                hp["conv2"]["w"].astype(path1.dtype),
+                hp["conv2"]["b"].astype(path1.dtype), H, W)
+    if x is None:
+        x = conv2d(hp["conv1"], path1, padding=[(1, 1), (1, 1)])
+        x = resize_bilinear_align_corners(x, H, W)
+        x = conv2d(hp["conv2"], x, padding=[(1, 1), (1, 1)])
+        x = jax.nn.relu(x)
+    x = conv2d(hp["conv3"], x, padding="VALID")  # (B, H, W, 4)
 
     return postprocess(x, cfg.depth_mode, cfg.conf_mode)

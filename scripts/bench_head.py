@@ -144,9 +144,25 @@ def main():
         from fast3r_tpu.ops.resize import _resize_matmul
         return _resize_matmul(x, H, W).astype(jnp.float32).sum()
 
+    def regression_fused(x, p):
+        # the fused trunk kernel (ops/trunk_kernel.py) + the outside conv3
+        from fast3r_tpu.ops.trunk_kernel import fused_regression_trunk
+
+        hp = p["head"]
+        y = fused_regression_trunk(
+            x, hp["conv1"]["w"], hp["conv1"]["b"],
+            hp["conv2"]["w"], hp["conv2"]["b"], H, W)
+        y = conv2d(hp["conv3"], y, padding="VALID")
+        return y.astype(jnp.float32).sum()
+
     if "regression" in probes:
         results["regression"] = timed(regression, path1_in, params)
         print("regression", round(results["regression"], 5), flush=True)
+    if "regression_fused" in probes:
+        results["regression_fused"] = timed(regression_fused, path1_in,
+                                            params)
+        print("regression_fused", round(results["regression_fused"], 5),
+              flush=True)
     if "regression_resize" in probes:
         results["regression_resize"] = timed(regression_resize, path1_in, params)
         print("regression_resize", round(results["regression_resize"], 5),

@@ -1,0 +1,76 @@
+"""Fused DPT regression-trunk kernel (ops/trunk_kernel.py) vs the plain
+conv2d -> interp-matmul -> conv2d composition, interpret mode.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fast3r_tpu.ops import trunk_kernel as tk
+
+
+@pytest.fixture(scope="module")
+def trunk_setup():
+    B, hh, wc, cin, c1 = 2, 32, 16, 128, 128
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, hh, wc, cin)) * 0.3, jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, cin, c1)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((c1,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, c1, c1)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((c1,)) * 0.1, jnp.float32)
+    return x, w1, b1, w2, b2
+
+
+def test_trunk_forward_matches_plain(trunk_setup):
+    x, w1, b1, w2, b2 = trunk_setup
+    out_h, out_w = 64, 32
+    ref = tk._plain_trunk(x, w1, b1, w2, b2, out_h, out_w)
+    out = tk._trunk_call(x, w1, b1, w2, b2, out_h, out_w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_trunk_gradients_match_plain(trunk_setup):
+    x, w1, b1, w2, b2 = trunk_setup
+    out_h, out_w = 64, 32
+
+    def loss_k(*a):
+        return jnp.sum(jnp.sin(
+            tk.fused_regression_trunk(*a, out_h, out_w)))
+
+    def loss_p(*a):
+        return jnp.sum(jnp.sin(tk._plain_trunk(*a, out_h, out_w)))
+
+    g1 = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    g2 = jax.grad(loss_p, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-3)
+
+
+def test_trunk_edge_zero_padding(trunk_setup):
+    """Image top/bottom rows exercise the zero-margin path: a constant input
+    must produce conv results that differ at the borders exactly as the
+    plain zero-padded convs do."""
+    x, w1, b1, w2, b2 = trunk_setup
+    xc = jnp.ones_like(x)
+    out_h, out_w = 64, 32
+    ref = tk._plain_trunk(xc, w1, b1, w2, b2, out_h, out_w)
+    out = tk._trunk_call(xc, w1, b1, w2, b2, out_h, out_w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_support_gate():
+    assert tk.trunk_kernel_supported((4, 192, 256, 256), 384, 512,
+                                     jnp.bfloat16, 128)
+    assert tk.trunk_kernel_supported((4, 96, 128, 256), 192, 256,
+                                     jnp.bfloat16, 128)
+    # fp32 doubles every tile: the XLA path serves parity runs
+    assert not tk.trunk_kernel_supported((4, 192, 256, 256), 384, 512,
+                                         jnp.float32, 128)
+    # below trunk scale the per-call fixed cost does not amortize
+    assert not tk.trunk_kernel_supported((4, 24, 32, 256), 48, 64,
+                                         jnp.bfloat16, 128)
