@@ -36,9 +36,11 @@ pipelining (the r3 answer to both problems):
     j+1's QK matmul (MXU) overlaps sub-chain j's exp2 passes (VPU), which a
     single chain serializes (same rationale as _fwd_kernel's split).
 
-Forward-only: under jax.grad the custom VJP recomputes through the naive
-fp32-logits path (the kernel keeps fp32 logits too, so gradients are
-consistent at bf16 rounding; encoder training remats the forward anyway).
+Forward-only: under jax.grad the custom VJP recomputes through a plain
+differentiable path (bf16: the bf16-logits XLA path the r2 encoder trained
+through; fp32: the naive fp32-logits reference — _replay_reference).  The
+kernels keep fp32 softmax statistics too, so gradients are consistent at
+bf16 rounding; encoder training remats the forward anyway.
 """
 
 from __future__ import annotations
@@ -242,9 +244,27 @@ def _naive_reference(q, k, v, scale):
     return jnp.einsum("bhqk,bkhd->bqhd", w, v)
 
 
+def _replay_reference(q, k, v, scale):
+    """Differentiable replay path for the custom VJPs.
+
+    bf16 (production training): the bf16-logits XLA path — the same math the
+    r2 encoder trained through before the packed kernels, with HALF the
+    logits/d_logits HBM transient of the naive fp32 replay (the source of
+    the r3 "~3% training tax" note, BENCHMARKS.md).  fp32 (tests): the naive
+    fp32-logits path, numerically identical to the golden reference.
+    Forward/backward consistency: both the kernels and this replay keep
+    softmax statistics in fp32; differences are bf16 rounding scale.
+    """
+    if q.dtype == jnp.bfloat16:
+        from fast3r_tpu.ops.attention import dot_product_attention
+
+        return dot_product_attention(q, k, v, scale, impl="xla")
+    return _naive_reference(q, k, v, scale)
+
+
 def _batched_bnhd_bwd(scale, res, g):
     q, k, v = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: _naive_reference(q_, k_, v_, scale),
+    _, vjp = jax.vjp(lambda q_, k_, v_: _replay_reference(q_, k_, v_, scale),
                      q, k, v)
     return vjp(g)
 
@@ -440,7 +460,7 @@ def _packed_bnhd_fwd(q, k, v, scale):
 
 def _packed_bnhd_bwd(scale, res, g):
     q, k, v = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: _naive_reference(q_, k_, v_, scale),
+    _, vjp = jax.vjp(lambda q_, k_, v_: _replay_reference(q_, k_, v_, scale),
                      q, k, v)
     return vjp(g)
 
@@ -553,7 +573,7 @@ def _fusedqkv_bwd(num_heads, scale, res, gout):
 
     def f(t):
         q, k, v = (t[i].reshape(B, N, num_heads, D) for i in range(3))
-        return _naive_reference(q, k, v, scale).reshape(B, N, C)
+        return _replay_reference(q, k, v, scale).reshape(B, N, C)
 
     _, vjp = jax.vjp(f, qkv3)
     return vjp(gout)

@@ -47,7 +47,12 @@ from fast3r_tpu.ops.resize import _interp_matrix, _interp_taps
 
 NSLOTS = 2
 LANE = 128
-VMEM_LIMIT = 100 * 1024 * 1024
+# Scoped-VMEM ceiling for the fused program (v5e physical VMEM = 128 MiB).
+# 100 MiB rejected the 12-view training shape (256x320 fine grid, rb=64
+# plan): Mosaic's stack wants 104.07 MiB there — caught on hardware as a
+# compile-time OOM in the train step's jvp (r3).  The headline 512-res shape
+# (rb=48) compiles well under either limit.
+VMEM_LIMIT = 116 * 1024 * 1024
 CHUNK_FINE_ROWS = 8  # conv2 fp32-accumulator chunk, in fine image rows
 
 
@@ -136,8 +141,17 @@ def _trunk_kern(cs_smem, lo_smem, frac_smem,
                 p2_vmem, m2_vmem, o_vmem,
                 in_sem, out_sem,
                 *, nb: int, nrb: int, rb: int, rin_c: int,
-                wc: int, out_w: int, cin: int, c1: int, dtype):
-    """One program; fori_loop over B*nrb output row-blocks."""
+                wc: int, out_w: int, cin: int, c1: int, dtype,
+                ablate: str = ""):
+    """One program; fori_loop over B*nrb output row-blocks.
+
+    `ablate` (diagnostics only, scripts/bench_head.py trunk_* probes —
+    outputs are WRONG under any non-empty value): "noconv1" zeroes y1
+    instead of the 9 conv1 matmuls, "now" zeroes wide instead of the W-pass
+    interp matmuls, "noh" copies coarse rows instead of the per-fine-row
+    lerps, "noconv2" skips conv2's matmul chunks, "dmaonly" skips all
+    compute.  Each variant keeps every buffer shape and the DMA schedule
+    identical so the timing difference isolates that stage's cost."""
     base1 = wc + 8                 # interior start in the input window buffer
     l1 = rin_c * wc                # conv1 output rows (pixel rows)
     lb = l1 + 2 * base1            # window buffer rows incl. zero margins
@@ -181,6 +195,11 @@ def _trunk_kern(cs_smem, lo_smem, frac_smem,
     for u in range(NSLOTS - 1):
         in_dma(u % NSLOTS, u).start()
 
+    do_conv1 = ablate not in ("noconv1", "dmaonly")
+    do_w = ablate not in ("now", "dmaonly")
+    do_h = ablate not in ("noh", "dmaonly")
+    do_conv2 = ablate not in ("noconv2", "dmaonly")
+
     def body(u, _):
         slot = jax.lax.rem(u, NSLOTS)
         rbi = jax.lax.rem(u, nrb)
@@ -193,39 +212,48 @@ def _trunk_kern(cs_smem, lo_smem, frac_smem,
         in_dma(slot, u).wait()
 
         # conv1: shifted masked copies, then 9 aligned-tap MXU matmuls
-        p1_vmem[:] = in_vmem[slot, pl.ds(1, lb - 8)] * mp1   # buf[i+1]
-        m1_vmem[:] = in_vmem[slot, pl.ds(7, lb - 8)] * mm1   # buf[i+7]
-        acc = b1_vmem[:].astype(jnp.float32)
-        for dy in (-1, 0, 1):
-            off = (dy + 1) * wc
-            taps = (
-                (in_vmem[slot, pl.ds(base1 + dy * wc, l1)], 1),   # dx=0
-                (p1_vmem[pl.ds(base1 + dy * wc, l1)], 2),          # dx=+1
-                (m1_vmem[pl.ds(base1 + dy * wc - 8, l1)], 0),      # dx=-1
-            )
-            for src, kx in taps:
-                acc = acc + jax.lax.dot_general(
-                    src, w1_vmem[dy + 1, kx],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-        y1_vmem[:] = acc.astype(dtype)
+        if do_conv1:
+            p1_vmem[:] = in_vmem[slot, pl.ds(1, lb - 8)] * mp1   # buf[i+1]
+            m1_vmem[:] = in_vmem[slot, pl.ds(7, lb - 8)] * mm1   # buf[i+7]
+            acc = b1_vmem[:].astype(jnp.float32)
+            for dy in (-1, 0, 1):
+                taps = (
+                    (in_vmem[slot, pl.ds(base1 + dy * wc, l1)], 1),   # dx=0
+                    (p1_vmem[pl.ds(base1 + dy * wc, l1)], 2),          # dx=+1
+                    (m1_vmem[pl.ds(base1 + dy * wc - 8, l1)], 0),      # dx=-1
+                )
+                for src, kx in taps:
+                    acc = acc + jax.lax.dot_general(
+                        src, w1_vmem[dy + 1, kx],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+            y1_vmem[:] = acc.astype(dtype)
+        elif ablate == "noconv1":
+            y1_vmem[:] = jnp.zeros((l1, c1), dtype)
 
         # W resize pass: one interp-matrix matmul per coarse row
-        for r in range(rin_c):
-            wide_vmem[pl.ds(r * out_w, out_w)] = jax.lax.dot_general(
-                mw_vmem[:], y1_vmem[pl.ds(r * wc, wc)],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dtype)
+        if do_w:
+            for r in range(rin_c):
+                wide_vmem[pl.ds(r * out_w, out_w)] = jax.lax.dot_general(
+                    mw_vmem[:], y1_vmem[pl.ds(r * wc, wc)],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dtype)
+        elif ablate == "now":
+            wide_vmem[:] = jnp.zeros((rin_c * out_w, c1), dtype)
 
         # H resize pass: 2-tap row-range lerp per fine row (incl. halo rows)
-        for i in range(rb + 2):
-            l = lo_smem[rbi * (rb + 2) + i]
-            f = frac_smem[rbi * (rb + 2) + i]
-            zlo = wide_vmem[pl.ds(l * out_w, out_w)].astype(jnp.float32)
-            zhi = wide_vmem[pl.ds(l * out_w + out_w, out_w)].astype(
-                jnp.float32)
-            z_vmem[pl.ds(base2 + i * out_w, out_w)] = (
-                zlo * (1.0 - f) + zhi * f).astype(dtype)
+        if do_h:
+            for i in range(rb + 2):
+                l = lo_smem[rbi * (rb + 2) + i]
+                f = frac_smem[rbi * (rb + 2) + i]
+                zlo = wide_vmem[pl.ds(l * out_w, out_w)].astype(jnp.float32)
+                zhi = wide_vmem[pl.ds(l * out_w + out_w, out_w)].astype(
+                    jnp.float32)
+                z_vmem[pl.ds(base2 + i * out_w, out_w)] = (
+                    zlo * (1.0 - f) + zhi * f).astype(dtype)
+        elif ablate == "noh":
+            z_vmem[pl.ds(base2, (rb + 2) * out_w)] = jnp.zeros(
+                ((rb + 2) * out_w, c1), dtype)
 
         # fine halo rows outside the image are zero padding (torch conv pad)
         @pl.when(rbi == 0)
@@ -237,30 +265,31 @@ def _trunk_kern(cs_smem, lo_smem, frac_smem,
             z_vmem[pl.ds(base2 + (rb + 1) * out_w, out_w)] = jnp.zeros(
                 (out_w, c1), dtype)
 
-        # conv2 + bias + ReLU on the fine grid, chunked fp32 accumulation
-        p2_vmem[:] = z_vmem[pl.ds(1, lz - 8)] * mp2
-        m2_vmem[:] = z_vmem[pl.ds(7, lz - 8)] * mm2
-
         @pl.when(u >= NSLOTS)
         def _reclaim():
             out_dma(slot, u - NSLOTS).wait()
 
-        cr = CHUNK_FINE_ROWS * out_w
-        for c0 in range(0, rb * out_w, cr):
-            acc2 = b2_vmem[:].astype(jnp.float32)
-            for dy in (-1, 0, 1):
-                o0 = base2 + out_w + c0 + dy * out_w
-                taps = (
-                    (z_vmem[pl.ds(o0, cr)], 1),
-                    (p2_vmem[pl.ds(o0, cr)], 2),
-                    (m2_vmem[pl.ds(o0 - 8, cr)], 0),
-                )
-                for src, kx in taps:
-                    acc2 = acc2 + jax.lax.dot_general(
-                        src, w2_vmem[dy + 1, kx],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-            o_vmem[slot, pl.ds(c0, cr)] = jnp.maximum(acc2, 0.0).astype(dtype)
+        # conv2 + bias + ReLU on the fine grid, chunked fp32 accumulation
+        if do_conv2:
+            p2_vmem[:] = z_vmem[pl.ds(1, lz - 8)] * mp2
+            m2_vmem[:] = z_vmem[pl.ds(7, lz - 8)] * mm2
+            cr = CHUNK_FINE_ROWS * out_w
+            for c0 in range(0, rb * out_w, cr):
+                acc2 = b2_vmem[:].astype(jnp.float32)
+                for dy in (-1, 0, 1):
+                    o0 = base2 + out_w + c0 + dy * out_w
+                    taps = (
+                        (z_vmem[pl.ds(o0, cr)], 1),
+                        (p2_vmem[pl.ds(o0, cr)], 2),
+                        (m2_vmem[pl.ds(o0 - 8, cr)], 0),
+                    )
+                    for src, kx in taps:
+                        acc2 = acc2 + jax.lax.dot_general(
+                            src, w2_vmem[dy + 1, kx],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                o_vmem[slot, pl.ds(c0, cr)] = jnp.maximum(
+                    acc2, 0.0).astype(dtype)
 
         out_dma(slot, u).start()
         return 0
@@ -272,7 +301,7 @@ def _trunk_kern(cs_smem, lo_smem, frac_smem,
         out_dma(u % NSLOTS, u).wait()
 
 
-def _trunk_call(x, w1, b1, w2, b2, out_h: int, out_w: int):
+def _trunk_call(x, w1, b1, w2, b2, out_h: int, out_w: int, ablate: str = ""):
     B, hh, wc, cin = x.shape
     c1 = w1.shape[-1]
     rb = _pick_rb(out_h, hh)
@@ -287,7 +316,7 @@ def _trunk_call(x, w1, b1, w2, b2, out_h: int, out_w: int):
     out = pl.pallas_call(
         functools.partial(
             _trunk_kern, nb=B, nrb=nrb, rb=rb, rin_c=rin_c, wc=wc,
-            out_w=out_w, cin=cin, c1=c1, dtype=dtype),
+            out_w=out_w, cin=cin, c1=c1, dtype=dtype, ablate=ablate),
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),

@@ -155,6 +155,24 @@ def main():
         y = conv2d(hp["conv3"], y, padding="VALID")
         return y.astype(jnp.float32).sum()
 
+    # trunk-kernel stage ablations (outputs WRONG by design; timing only):
+    # full - trunk_<stage> isolates that stage's cost inside the fused kernel
+    for abl in ("noconv1", "now", "noh", "noconv2", "dmaonly"):
+        key = f"trunk_{abl}"
+        if key not in probes:
+            continue
+        from fast3r_tpu.ops.trunk_kernel import _trunk_call
+
+        def trunk_abl(x, p, _abl=abl):
+            hp = p["head"]
+            y = _trunk_call(x, hp["conv1"]["w"], hp["conv1"]["b"],
+                            hp["conv2"]["w"], hp["conv2"]["b"], H, W,
+                            ablate=_abl)
+            return y.astype(jnp.float32).sum()
+
+        results[key] = timed(trunk_abl, path1_in, params)
+        print(key, round(results[key], 5), flush=True)
+
     if "regression" in probes:
         results["regression"] = timed(regression, path1_in, params)
         print("regression", round(results["regression"], 5), flush=True)

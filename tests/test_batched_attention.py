@@ -91,6 +91,28 @@ def test_gradients_match_naive():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_gradients_bf16_replay_matches_naive():
+    """The bf16 custom-VJP replay (bf16-logits XLA path, r3) matches naive
+    fp32 gradients at bf16 rounding scale."""
+    shape = (2, 64, 4, 64)
+    ks = jax.random.split(jax.random.key(8), 3)
+    qf, kf, vf = (_mk(x, shape, jnp.float32) for x in ks)
+    qb, kb, vb = (t.astype(jnp.bfloat16) for t in (qf, kf, vf))
+
+    def loss_kernel(q, k, v):
+        return jnp.sum(jnp.sin(batched_attention(q, k, v, 0.125)
+                               .astype(jnp.float32)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(dot_product_attention(q, k, v, 0.125,
+                                                     impl="naive")))
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(qb, kb, vb)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(qf, kf, vf)
+    for a, b in zip(gk, gr):
+        assert np.abs(np.asarray(a, np.float32) - np.asarray(b)).max() < 0.05
+
+
 def test_packed_vs_padded_kernels():
     """The zero-relayout packed kernel and the padded kernel agree with the
     naive reference (and with each other at kernel-exact level: identical
