@@ -98,11 +98,7 @@ class ResizedDataset(EasyDataset):
         return self.new_size
 
     def __repr__(self):
-        size_str = str(self.new_size)
-        for i in range((len(size_str) - 1) // 3):
-            sep = -4 * i - 3
-            size_str = size_str[:sep] + "_" + size_str[sep:]
-        return f"{size_str} @ {self.dataset!r}"
+        return f"{self.new_size:_} @ {self.dataset!r}"
 
     def set_epoch(self, epoch):
         # deterministic per-epoch shuffle (reference easy_dataset.py:108-119)

@@ -53,6 +53,15 @@ LANE = 128
 # compile-time OOM in the train step's jvp (r3).  The headline 512-res shape
 # (rb=48) compiles well under either limit.
 VMEM_LIMIT = 116 * 1024 * 1024
+# Gap between _vmem_estimate's live-set model and what Mosaic's scoped-stack
+# allocator actually asks for, anchored to the one hardware measurement we
+# have: the 12-view training shape (hh=128, wc=160 -> 256x320 fine, rb=64)
+# estimates 46.61 MiB but Mosaic wanted 104.07 MiB (r3 compile-time OOM on
+# hardware).  The gate below requires estimate + margin <= VMEM_LIMIT so the
+# support check tracks the REAL cap instead of an arbitrary threshold; both
+# known-good shapes clear it (12-view 104.6, headline 115.6 <= 116 — the
+# headline shape is known to compile at this limit).
+MOSAIC_STACK_MARGIN = 58 * 1024 * 1024
 CHUNK_FINE_ROWS = 8  # conv2 fp32-accumulator chunk, in fine image rows
 
 
@@ -130,8 +139,9 @@ def trunk_kernel_supported(x_shape, out_h: int, out_w: int, dtype,
     if rb == 0:
         return False
     *_, rin_c = _trunk_plan(hh, out_h, rb)
-    return _vmem_estimate(rin_c, wc, cin, c1, rb, out_w,
-                          jnp.dtype(dtype).itemsize) <= 80 * 1024 * 1024
+    est = _vmem_estimate(rin_c, wc, cin, c1, rb, out_w,
+                         jnp.dtype(dtype).itemsize)
+    return est + MOSAIC_STACK_MARGIN <= VMEM_LIMIT
 
 
 def _trunk_kern(cs_smem, lo_smem, frac_smem,
@@ -148,8 +158,10 @@ def _trunk_kern(cs_smem, lo_smem, frac_smem,
     `ablate` (diagnostics only, scripts/bench_head.py trunk_* probes —
     outputs are WRONG under any non-empty value): "noconv1" zeroes y1
     instead of the 9 conv1 matmuls, "now" zeroes wide instead of the W-pass
-    interp matmuls, "noh" copies coarse rows instead of the per-fine-row
-    lerps, "noconv2" skips conv2's matmul chunks, "dmaonly" skips all
+    interp matmuls, "noh" zero-fills z instead of running the per-fine-row
+    lerps (a zero-fill is cheaper than a row copy, so the full-minus-noh
+    delta slightly OVERSTATES the H-pass cost — read it as an upper bound),
+    "noconv2" skips conv2's matmul chunks, "dmaonly" skips all
     compute.  Each variant keeps every buffer shape and the DMA schedule
     identical so the timing difference isolates that stage's cost."""
     base1 = wc + 8                 # interior start in the input window buffer

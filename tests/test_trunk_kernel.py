@@ -68,6 +68,19 @@ def test_support_gate():
                                      jnp.bfloat16, 128)
     assert tk.trunk_kernel_supported((4, 96, 128, 256), 192, 256,
                                      jnp.bfloat16, 128)
+    # the 12-view training shape (hh=128 wc=160 -> 256x320 fine, rb=64) that
+    # passed the old 80 MiB analytic gate but hit a hardware compile OOM at
+    # the 100 MiB cap (Mosaic wanted 104.07 MiB): must still be accepted now
+    # that the cap is 116 MiB AND its estimate+measured-margin (104.6 MiB)
+    # must track the real Mosaic demand within a couple of MiB
+    assert tk.trunk_kernel_supported((12, 128, 160, 256), 256, 320,
+                                     jnp.bfloat16, 128)
+    rb = tk._pick_rb(256, 128)
+    *_, rin_c = tk._trunk_plan(128, 256, rb)
+    est = tk._vmem_estimate(rin_c, 160, 256, 128, rb, 320, 2)
+    measured = 104.07 * 2**20  # Mosaic's actual demand on hardware (r3)
+    assert abs((est + tk.MOSAIC_STACK_MARGIN) - measured) < 2 * 2**20
+    assert measured <= tk.VMEM_LIMIT
     # fp32 doubles every tile: the XLA path serves parity runs
     assert not tk.trunk_kernel_supported((4, 192, 256, 256), 384, 512,
                                          jnp.float32, 128)
