@@ -94,15 +94,16 @@ def main(argv=None):
         num_workers_val=data_cfg.get("num_workers_val", 0),
     )
     val_loaders = dm.val_dataloaders()
+    # Suite dispatch is AUTOMATIC per dataset name inside Trainer.validate
+    # (the reference's validation_step, module.py:290-301: Co3d_v2 -> pose,
+    # dtu/7scenes/nrgbd -> recon).  The CLI flags / an `eval:` preset key
+    # are explicit overrides: True forces a suite on for every dataset,
+    # False forces it off; absent (None) keeps auto-dispatch.
     eval_cfg = cfg.get("eval", {})
-    pose_flags, recon_flags = {}, {}
-    for name, expr in zip(val_loaders, val_exprs):
-        # reference dispatch: Co3D -> pose eval; DTU/7scenes/NRGBD -> recon
-        pose_flags[name] = (args.eval_pose or eval_cfg.get("pose", False)
-                            or "Co3d" in expr)
-        recon_flags[name] = (args.eval_recon or eval_cfg.get("recon", False)
-                             or any(d in expr
-                                    for d in ("DTU", "SevenScenes", "NRGBD")))
+    pose_ov = True if args.eval_pose else eval_cfg.get("pose")
+    recon_ov = True if args.eval_recon else eval_cfg.get("recon")
+    pose_flags = {name: pose_ov for name in val_loaders}
+    recon_flags = {name: recon_ov for name in val_loaders}
 
     results = trainer.validate(
         val_loaders, epoch=0,

@@ -67,6 +67,9 @@ def config_from_reference_args(
         mlp_ratio=encoder_args.get("mlp_ratio", 4),
         rope_base=float(str(encoder_args.get("pos_embed", "RoPE100"))[len("RoPE"):]),
         attn_impl=attn_impl,
+        drop=encoder_args.get("drop", 0.0),
+        attn_drop=encoder_args.get("attn_drop", 0.0),
+        drop_path=encoder_args.get("drop_path", 0.0),
     )
     return _assemble_config(enc, decoder_args, head_args, attn_impl)
 
@@ -106,6 +109,11 @@ def _assemble_config(enc, decoder_args: Dict, head_args: Dict,
                 "attn_bias_for_inference_enabled", True
             ),
             attn_impl=attn_impl,
+            # reference Fast3RDecoder knobs (fast3r.py:664-665); drop_path
+            # extends them per-Block (blocks.py:206)
+            drop=decoder_args.get("drop", 0.0),
+            attn_drop=decoder_args.get("attn_drop", 0.0),
+            drop_path=decoder_args.get("drop_path", 0.0),
         )
     head = DPTHeadConfig(
         patch_size=head_args.get("patch_size", 16),

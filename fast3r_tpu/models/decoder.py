@@ -71,6 +71,12 @@ class DecoderConfig:
     attn_impl: str = "xla"
     block_ln_eps: float = 1e-5  # torch nn.LayerNorm default (fast3r.py:683)
     final_ln_eps: float = 1e-6
+    # reference Block dropout knobs (blocks.py:196-239); every shipped
+    # reference config sets them to 0.0.  Active only in the training
+    # forward (needs the step rng); non-zero rates force the plain block path
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
     # run blocks with LN/GELU/residual fused into the matmul kernels on TPU
     # (nn/fused_block.py); falls back automatically off-TPU / untileable shapes
     fused_blocks: bool = True
@@ -136,6 +142,7 @@ def decoder_forward(
     image_ids: jnp.ndarray,
     is_training: bool = False,
     remat: bool = False,
+    rng=None,
 ) -> Dict[int, jnp.ndarray]:
     """Run the fusion decoder.
 
@@ -171,6 +178,8 @@ def decoder_forward(
         params["blocks"], x, cfg.num_heads, scale,
         rope_cos_sin=None, attn_impl=cfg.attn_impl, ln_eps=cfg.block_ln_eps,
         hooks=inner_hooks, depth=cfg.depth, remat=remat, fused=fused,
+        drop=cfg.drop, attn_drop=cfg.attn_drop, droppath=cfg.drop_path,
+        rng=rng if is_training else None,
     )
     outputs.update(hooked)
     outputs[cfg.depth] = layernorm(params["norm"], x, cfg.final_ln_eps)

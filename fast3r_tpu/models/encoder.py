@@ -56,6 +56,12 @@ class EncoderConfig:
     # run blocks with LN/GELU/residual fused into the matmul kernels on TPU
     # (nn/fused_block.py); falls back automatically off-TPU / untileable shapes
     fused_blocks: bool = True
+    # reference Block dropout knobs (blocks.py:196-239); every shipped
+    # reference config sets them to 0.0.  Active only in the training
+    # forward (needs the step rng); non-zero rates force the plain block path
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
 
 
 def init_encoder(key, cfg: EncoderConfig, dtype=jnp.float32) -> Params:
@@ -76,6 +82,7 @@ def encoder_forward(
     img: jnp.ndarray,
     true_shape: Optional[jnp.ndarray] = None,
     remat: bool = False,
+    rng=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Encode a batch of images.
 
@@ -112,5 +119,7 @@ def encoder_forward(
         params["blocks"], x, cfg.num_heads, scale,
         rope_cos_sin=(cos, sin), attn_impl=cfg.attn_impl, ln_eps=cfg.ln_eps,
         depth=cfg.depth, remat=remat, fused=fused,
+        drop=cfg.drop, attn_drop=cfg.attn_drop, droppath=cfg.drop_path,
+        rng=rng,
     )
     return layernorm(params["norm"], x, cfg.ln_eps), pos

@@ -210,6 +210,15 @@ def fast3r_forward(
     # ---- encoder over all B*V images (fast3r.py:250-296) ----
     flat_imgs = imgs.reshape(B * V, H, W, 3)
     flat_shapes = true_shapes.reshape(B * V, 2)
+    # per-stack dropout rngs (reference Block knobs, blocks.py:196-239).
+    # Split ONLY when a rate is non-zero so the zero-dropout rng stream
+    # (image-id sampling below) is bit-identical to prior releases.
+    enc_rng = dec_rng = None
+    if is_training and rng is not None and any(
+            getattr(c, k, 0.0) > 0.0
+            for c in (cfg.encoder, cfg.decoder)
+            for k in ("drop", "attn_drop", "drop_path")):
+        rng, enc_rng, dec_rng = jax.random.split(rng, 3)
     if cfg.encoder_type == "dino":
         from fast3r_tpu.models.dino_encoder import dino_encoder_forward
 
@@ -217,7 +226,8 @@ def fast3r_forward(
                                            flat_imgs, flat_shapes)
     else:
         feats, _pos = encoder_forward(params["encoder"], cfg.encoder,
-                                      flat_imgs, flat_shapes, remat=remat)
+                                      flat_imgs, flat_shapes, remat=remat,
+                                      rng=enc_rng)
     P = feats.shape[1]
     fused = feats.reshape(B, V * P, -1)
 
@@ -251,7 +261,7 @@ def fast3r_forward(
     else:
         dec_out = decoder_forward(params["decoder"], cfg.decoder, fused,
                                   image_ids, is_training=is_training,
-                                  remat=remat)
+                                  remat=remat, rng=dec_rng)
 
     # ---- heads (fast3r.py:365-485) ----
     hooks = cfg.decoder.hooks

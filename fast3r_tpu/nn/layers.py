@@ -99,7 +99,36 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.gelu(x, approximate=False)
 
 
-def mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+def dropout(x: jnp.ndarray, rate: float, rng) -> jnp.ndarray:
+    """Inverted dropout (torch nn.Dropout train-mode semantics).  Identity
+    when rate == 0 or rng is None (inference)."""
+    if rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def drop_path(x: jnp.ndarray, rate: float, rng) -> jnp.ndarray:
+    """Stochastic depth per SAMPLE (reference blocks.py:45-73): one
+    bernoulli per batch row, scaled by 1/keep (scale_by_keep=True; at
+    rate == 1.0 the branch is zeroed unscaled, matching the reference's
+    keep_prob > 0 guard)."""
+    if rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
+    if keep > 0.0:
+        mask = mask / keep
+    return x * mask
+
+
+def mlp(p: Params, x: jnp.ndarray, drop: float = 0.0, rng=None) -> jnp.ndarray:
+    if drop > 0.0 and rng is not None:
+        k1, k2 = jax.random.split(rng)
+        h = dropout(gelu(linear(p["fc1"], x)), drop, k1)
+        return dropout(linear(p["fc2"], h), drop, k2)
     return linear(p["fc2"], gelu(linear(p["fc1"], x)))
 
 
@@ -167,11 +196,17 @@ def attention_layer(
     scale: float,
     rope_cos_sin: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     attn_impl: str = "xla",
+    attn_drop: float = 0.0,
+    proj_drop: float = 0.0,
+    rng=None,
 ) -> jnp.ndarray:
     """Self-attention sublayer (reference blocks.py:135-194).
 
     x: (B, N, C).  RoPE (if given) is applied to q and k in fp32
-    (blocks.py:146-149 applies rope under fp32 autocast).
+    (blocks.py:146-149 applies rope under fp32 autocast).  With a non-zero
+    attn_drop and an rng (train mode) the softmax weights are dropped like
+    the reference's pytorch_naive path (blocks.py:163-170: softmax ->
+    Dropout -> @v); proj_drop follows the output projection.
     """
     B, N, C = x.shape
     hd = C // num_heads
@@ -181,11 +216,22 @@ def attention_layer(
         cos, sin = rope_cos_sin[0], rope_cos_sin[1]  # tolerate the 4-tuple
         q = apply_rope2d_bnhd(q, cos, sin)
         k = apply_rope2d_bnhd(k, cos, sin)
-    if callable(attn_impl):
+    k_attn = k_proj = None
+    if rng is not None:
+        k_attn, k_proj = jax.random.split(rng)
+    if attn_drop > 0.0 and k_attn is not None:
+        # weight-level dropout forces the naive (materialized-logits) path
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        w = dropout(jax.nn.softmax(logits, axis=-1).astype(q.dtype),
+                    attn_drop, k_attn)
+        o = jnp.einsum("bhqk,bkhd->bqhd", w, v)
+    elif callable(attn_impl):
         o = attn_impl(q, k, v, scale)
     else:
         o = dot_product_attention(q, k, v, scale=scale, impl=attn_impl)
-    return linear(p["proj"], o.reshape(B, N, C))
+    o = linear(p["proj"], o.reshape(B, N, C))
+    return dropout(o, proj_drop, k_proj)
 
 
 def vit_block(
@@ -197,22 +243,40 @@ def vit_block(
     attn_impl: str = "xla",
     ln_eps: float = 1e-6,
     fused: bool = False,
+    drop: float = 0.0,
+    attn_drop: float = 0.0,
+    droppath: float = 0.0,
+    rng=None,
 ) -> jnp.ndarray:
     """Pre-LN ViT block.  With ``fused=True`` the LN/GELU/residual elementwise
     work runs inside the matmul kernels (nn/fused_block.py, TPU hot path);
     numerics match the plain composition at input-dtype rounding and the
-    backward pass recomputes through the plain path."""
-    if fused:
+    backward pass recomputes through the plain path.
+
+    drop / attn_drop / droppath mirror the reference Block's knobs
+    (blocks.py:196-239: drop = proj + MLP dropout, attn_drop = softmax-weight
+    dropout, droppath = per-sample stochastic depth on both residual
+    branches).  They act only when an ``rng`` is provided (train mode) and
+    force the plain (unfused) path — every shipped reference config sets
+    them to 0.0, so the fused TPU kernels never see them."""
+    drops_active = rng is not None and (drop > 0.0 or attn_drop > 0.0
+                                        or droppath > 0.0)
+    if fused and not drops_active:
         from fast3r_tpu.nn.fused_block import fused_vit_block
 
         return fused_vit_block(p, x, rope_cos_sin, num_heads, scale,
                                attn_impl, ln_eps)
-    x = x + attention_layer(
+    k_attn = k_mlp = k_dp1 = k_dp2 = None
+    if drops_active:
+        k_attn, k_mlp, k_dp1, k_dp2 = jax.random.split(rng, 4)
+    a = attention_layer(
         p["attn"], layernorm(p["norm1"], x, ln_eps), num_heads, scale,
-        rope_cos_sin, attn_impl,
+        rope_cos_sin, attn_impl, attn_drop=attn_drop, proj_drop=drop,
+        rng=k_attn,
     )
-    x = x + mlp(p["mlp"], layernorm(p["norm2"], x, ln_eps))
-    return x
+    x = x + drop_path(a, droppath, k_dp1)
+    m = mlp(p["mlp"], layernorm(p["norm2"], x, ln_eps), drop=drop, rng=k_mlp)
+    return x + drop_path(m, droppath, k_dp2)
 
 
 # ----------------------------------------------------------------------------
@@ -244,6 +308,10 @@ def run_vit_stack(
     depth: Optional[int] = None,
     remat: bool = False,
     fused: bool = False,
+    drop: float = 0.0,
+    attn_drop: float = 0.0,
+    droppath: float = 0.0,
+    rng=None,
 ) -> Tuple[jnp.ndarray, Dict[int, jnp.ndarray]]:
     """Run a stack of identical ViT blocks via lax.scan.
 
@@ -280,25 +348,43 @@ def run_vit_stack(
                                         x.dtype)
             rope_cos_sin = (rope_cos_sin[0], rope_cos_sin[1], ct, st)
 
+    drops_active = rng is not None and (drop > 0.0 or attn_drop > 0.0
+                                        or droppath > 0.0)
     block = partial(
         vit_block, num_heads=num_heads, scale=scale, rope_cos_sin=rope_cos_sin,
         attn_impl=attn_impl, ln_eps=ln_eps, fused=fused,
+        drop=drop, attn_drop=attn_drop, droppath=droppath,
     )
     if remat and not fused:
         # the fused block's custom VJP already saves only (params, x) and
         # recomputes on backward — checkpoint would just add a second replay
         block = jax.checkpoint(block)
 
-    def scan_fn(carry, layer_params):
-        return block(layer_params, carry), None
+    if drops_active:
+        layer_rngs = jax.random.split(rng, depth)
+
+        def scan_fn(carry, xs):
+            layer_params, layer_rng = xs
+            return block(layer_params, carry, rng=layer_rng), None
+
+        def seg(x, lo, hi):
+            return jax.lax.scan(
+                scan_fn, x, (_slice_stack(stacked, lo, hi),
+                             layer_rngs[lo:hi]))[0]
+    else:
+        def scan_fn(carry, layer_params):
+            return block(layer_params, carry), None
+
+        def seg(x, lo, hi):
+            return jax.lax.scan(scan_fn, x, _slice_stack(stacked, lo, hi))[0]
 
     boundaries = sorted({h for h in hooks if 0 < h <= depth})
     outputs: Dict[int, jnp.ndarray] = {}
     pos = 0
     for b in boundaries:
-        x, _ = jax.lax.scan(scan_fn, x, _slice_stack(stacked, pos, b))
+        x = seg(x, pos, b)
         outputs[b] = x
         pos = b
     if pos < depth:
-        x, _ = jax.lax.scan(scan_fn, x, _slice_stack(stacked, pos, depth))
+        x = seg(x, pos, depth)
     return x, outputs

@@ -112,7 +112,8 @@ def _pick_block(s: int, max_block: int) -> int:
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
                 kv_steps: int, d: int, split: int = 1,
-                want_lse: bool = True, bnhd: bool = False):
+                want_lse: bool = True, bnhd: bool = False,
+                ablate: str = ""):
     """Online-softmax forward step with the row-sum folded into the PV matmul.
 
     At D < 128 the PV contraction's output uses only D of the MXU's 128
@@ -130,6 +131,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
     until the merge, giving Mosaic's scheduler freedom to overlap sub-block
     j+1's QK matmul (MXU) with sub-block j's exp2 passes (VPU), which a
     single online chain serializes (m_new couples every element).
+
+    `ablate` (diagnostics only, scripts/bench_flash_ablate.py — outputs are
+    WRONG under any non-empty value): "nomax" pins every local max to 0.0
+    (isolates the cross-lane max-reduce), "nosoftmax" also skips the exp2
+    (p = raw scores cast — leaves just the two matmuls + merges), "nopv"
+    zeroes acc_j instead of the PV matmul.  Buffer shapes, grid and DMA
+    schedule stay identical so timing deltas isolate each stage.
     """
     kv = pl.program_id(3)
     if want_lse:
@@ -169,13 +177,22 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (bq, sub) fp32, log2 domain
-        m_j = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp2(s - m_j).astype(v.dtype)
+        if ablate in ("nomax", "nosoftmax"):
+            m_j = jnp.zeros((s.shape[0], 1), jnp.float32)
+        else:
+            m_j = jnp.max(s, axis=-1, keepdims=True)
+        if ablate == "nosoftmax":
+            p = s.astype(v.dtype)
+        else:
+            p = jnp.exp2(s - m_j).astype(v.dtype)
         v_ext = jnp.concatenate([v, ones], axis=-1)
-        acc_j = jax.lax.dot_general(
-            p, v_ext, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if ablate == "nopv":
+            acc_j = jnp.zeros((s.shape[0], d + _ones_width(d)), jnp.float32)
+        else:
+            acc_j = jax.lax.dot_general(
+                p, v_ext, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         parts.append((m_j, acc_j))
 
     # merge the partials with the running state
@@ -308,7 +325,8 @@ def _flash_forward_single(q, k, v, scale, want_lse=True):
 
 def _flash_forward(q, k, v, scale, bq, bk,
                    split=None, want_lse=True,
-                   bnhd=False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                   bnhd=False, ablate="",
+                   vmem_limit_mb=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """split=None is the production auto mode: consider the whole-sequence
     single kernel first, then the tiled kernel with an auto-picked
     partial-softmax sub-chain count (a single chain at bk=3840 is a 15.7 MB
@@ -361,7 +379,8 @@ def _flash_forward(q, k, v, scale, bq, bk,
         out_shape.append(lse_shape)
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, kv_steps=Skv // bk,
-                          d=D, split=split, want_lse=want_lse, bnhd=bnhd),
+                          d=D, split=split, want_lse=want_lse, bnhd=bnhd,
+                          ablate=ablate),
         grid=grid,
         in_specs=[q_spec, kv_spec, kv_spec],
         out_specs=out_specs,
@@ -373,6 +392,8 @@ def _flash_forward(q, k, v, scale, bq, bk,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
+            **({"vmem_limit_bytes": vmem_limit_mb * 1024 * 1024}
+               if vmem_limit_mb else {}),
         ),
         interpret=_interpret(),
     )(q, k, v)

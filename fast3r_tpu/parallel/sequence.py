@@ -355,7 +355,8 @@ def seq_sharded_conf_loss(gts_loc, preds_loc, loss_cfg, axis_name,
 def make_seq_sharded_train_step(cfg, optim_cfg, mesh: Mesh,
                                 loss_cfg=None, axis: str = "seq",
                                 data_axis=None,
-                                remat: bool = True):
+                                remat: bool = True,
+                                ring_impl: str = "xla"):
     """Jitted training step with the view sequence sharded over `mesh[axis]`.
 
     This is the multi-chip long-sequence training path (e.g. many-view
@@ -366,11 +367,25 @@ def make_seq_sharded_train_step(cfg, optim_cfg, mesh: Mesh,
     psum.  Landscape-only batches (the training layout); B = 1 per shard
     group.  Gradients of the replicated params all-reduce automatically via
     shard_map's transpose of the replicated in_spec.
+
+    ring_impl: training supports only "xla" (the differentiable ppermute
+    ring).  The "rdma" in-kernel interconnect ring (parallel/ring_rdma.py)
+    is FORWARD-ONLY by design — its hop-pipelined remote copies have no
+    custom VJP — so requesting it here raises rather than silently
+    substituting; use make_seq_sharded_forward(ring_impl="rdma") for
+    inference, or "xla" to train.
     """
     from fast3r_tpu.models.decoder import sample_random_image_ids
     from fast3r_tpu.train.losses import LossConfig
     from fast3r_tpu.train.step import TrainState, make_optimizer
 
+    if ring_impl != "xla":
+        raise NotImplementedError(
+            f"ring_impl={ring_impl!r}: the RDMA ring is forward-only "
+            "(no VJP for the in-kernel remote copies); sequence-sharded "
+            "TRAINING always rides the differentiable XLA ppermute ring. "
+            "Pass ring_impl='xla' here, or use "
+            "make_seq_sharded_forward(ring_impl='rdma') for inference.")
     loss_cfg = loss_cfg or LossConfig()
     tx = make_optimizer(optim_cfg)
     n = mesh.shape[axis]

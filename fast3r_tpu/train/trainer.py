@@ -44,6 +44,11 @@ log = RankedLogger(__name__)
 
 BATCH_KEYS = ("imgs", "true_shapes", "pts3d", "valid_mask", "camera_pose")
 
+# Reference validation_step auto-dispatch (module.py:290-301): pose metrics
+# for CO3D batches, reconstruction metrics for the recon benchmark datasets.
+POSE_EVAL_DATASETS = frozenset({"Co3d_v2"})
+RECON_EVAL_DATASETS = frozenset({"dtu", "7scenes", "nrgbd"})
+
 
 @dataclasses.dataclass
 class TrainerConfig:
@@ -271,14 +276,34 @@ class Trainer:
         return self._eval_fns[key]
 
     def validate(self, val_loaders: Dict[str, Any], epoch: int,
-                 eval_pose: Optional[Dict[str, bool]] = None,
-                 eval_recon: Optional[Dict[str, bool]] = None,
+                 eval_pose: Optional[Dict[str, Optional[bool]]] = None,
+                 eval_recon: Optional[Dict[str, Optional[bool]]] = None,
                  use_pts3d_from_local_head: bool = True) -> Dict[str, float]:
-        """Per-dataset val loss + optional pose/recon metric suites
-        (reference validation_step dispatch, module.py:239-301)."""
+        """Per-dataset val loss + pose/recon metric suites.
+
+        Dispatch follows the reference's validation_step
+        (module.py:290-301): when a loader's entry in ``eval_pose`` /
+        ``eval_recon`` is None (or absent while the dict is None), the suite
+        is AUTO-dispatched from the batch's dataset name — ``Co3d_v2`` runs
+        the camera-pose suite, ``dtu``/``7scenes``/``nrgbd`` run the
+        reconstruction suite.  An explicit True/False forces the suite
+        on/off (the CLI's --eval-pose/--eval-recon override path).
+        """
         from fast3r_tpu.eval.pose import estimate_camera_poses
         from fast3r_tpu.eval.pose_metrics import pose_metrics
         from fast3r_tpu.eval.recon import evaluate_reconstruction
+
+        def _dispatch(flags, name, batch, auto_names, epoch_ok=True):
+            want = flags.get(name) if flags else None
+            if want is not None:
+                return want
+            ds = batch.get("dataset")
+            return epoch_ok and bool(ds) and ds[0][0] in auto_names
+
+        # the reference only auto-runs the (slow) recon suite every 5 epochs
+        # (module.py:296 "eval only every 5 epochs because it's slow");
+        # explicit flags bypass the gate
+        recon_epoch_ok = epoch % 5 == 4 or epoch == 0
 
         results: Dict[str, float] = {}
         for name, loader in val_loaders.items():
@@ -291,13 +316,14 @@ class Trainer:
                 loss, preds = fn(self.state.params, jb,
                                  jax.random.key(0))
                 losses.append(float(loss))
-                if eval_pose and eval_pose.get(name):
+                if _dispatch(eval_pose, name, batch, POSE_EVAL_DATASETS):
                     preds_v = _split_preds_by_view(preds)
                     poses, _ = estimate_camera_poses(preds_v)
                     for b in range(len(poses)):
                         gt = np.asarray(batch["camera_pose"][b])
                         pose_ms.append(pose_metrics(np.stack(poses[b]), gt))
-                if eval_recon and eval_recon.get(name):
+                if _dispatch(eval_recon, name, batch, RECON_EVAL_DATASETS,
+                             recon_epoch_ok):
                     views_v, preds_v = _split_batch_by_view(batch, preds)
                     rs = evaluate_reconstruction(
                         views_v, preds_v,

