@@ -40,11 +40,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fast3r_tpu.nn import layers as _layers
 
-VMEM_BUDGET = 12 * 1024 * 1024
+# Live-set ceiling for the resident-weight kernels (v5e physical VMEM is
+# 128 MiB; pallas calls that can exceed the ~16 MiB default scoped limit
+# pass VMEM_LIMIT_MB explicitly).  r4: raised from 12 MiB — the 12 MiB
+# budget capped row tiles at bm=128 for the fc1 shape (48 for fc2), leaving
+# the matmuls at 114 TFLOP/s; measured sweep (scripts/bench_fused_linears.py)
+# puts bm=512-768 at 120-168 TFLOP/s (within-run orderings; run-to-run
+# medians swing ~10%).
+VMEM_BUDGET = 64 * 1024 * 1024
+VMEM_LIMIT_MB = 100
+# Preferred row-tile size by shape (measured, bench_fused_linears.py):
+# wide projections (n > 3k, the fc1 GELU shape) peak at 512; everything else
+# (qkv, fc2, proj) at 768.
+def _bm_target(k: int, n: int) -> int:
+    return 512 if n > 3 * k else 768
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+def _cparams():
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=VMEM_LIMIT_MB * 1024 * 1024)
+
 
 
 def _erf(x):
@@ -99,24 +117,34 @@ def _pick_bm(m: int, k: int, n: int, w_bytes: int, itemsize: int,
     """Rows per program such that W (resident) + double-buffered x/out tiles +
     fp32 LN intermediates stay inside the VMEM budget.  `extra_row_bytes`
     models additional per-row streamed inputs (the rope tables of
-    ln_qkv_rope: 2 double-buffered (bm, k) tiles)."""
-    best = 0
+    ln_qkv_rope: 2 double-buffered (bm, k) tiles).  Prefers the largest tile
+    at or below the measured per-shape optimum (_bm_target); beyond it the
+    rate falls again (fc1 sweep: 512 > 768 > 960 > 1536)."""
+    target = _bm_target(k, n)
+    fits = []
     bm = 8
     while bm <= 1024:
         if m % bm == 0:
             need = (w_bytes + 2 * bm * k * itemsize + 2 * bm * n * itemsize
                     + 3 * bm * k * 4 + bm * extra_row_bytes)
             if need <= VMEM_BUDGET:
-                best = bm
+                fits.append(bm)
         bm += 8
-    return best
+    if not fits:
+        return 0
+    below = [b for b in fits if b <= target]
+    return max(below) if below else min(fits)
 
 
 def _pick_bm_replay(m: int, k: int, n: int, w_bytes: int,
                     itemsize: int) -> int:
     """Row tile for the residual-emitting REPLAY kernels (training backward
-    path): the forward streams plus the extra u / z / stat output tiles."""
-    best = 0
+    path): the forward streams plus the extra u / z / stat output tiles.
+    Capped at 512 rows — the replay's live set is ~2x the plain forward's
+    (u/z/stat output tiles), so the measured forward optima don't transfer
+    and the conservative tile keeps Mosaic's scoped stack well inside the
+    limit."""
+    fits = []
     bm = 8
     while bm <= 1024:
         if m % bm == 0:
@@ -124,9 +152,12 @@ def _pick_bm_replay(m: int, k: int, n: int, w_bytes: int,
                     + 2 * itemsize * bm * (2 * k + 2 * n)   # x,u in/out + y,z
                     + 3 * bm * k * 4)                       # fp32 LN live set
             if need <= VMEM_BUDGET:
-                best = bm
+                fits.append(bm)
         bm += 8
-    return best
+    if not fits:
+        return 0
+    below = [b for b in fits if b <= 512]
+    return max(below) if below else min(fits)
 
 
 # ---------------------------------------------------------------------------
@@ -257,6 +288,7 @@ def _ln_matmul_replay(x, gamma, beta, w, bias, eps: float,
         ],
         out_specs=out_specs,
         out_shape=out_shape,
+        compiler_params=_cparams(),
         interpret=_interpret(),
     )(x, gamma, beta, w, bias)
 
@@ -296,7 +328,7 @@ def _ln_backward_xla(x, gamma, beta, w, bias, u, mean, rstd, z, g,
 # ---------------------------------------------------------------------------
 
 def _ln_matmul_call(x, gamma, beta, w, bias, eps: float,
-                    act: Optional[str], bm: int):
+                    act: Optional[str], bm: int, vmem_limit_mb=None):
     m, k = x.shape
     n = w.shape[1]
     return pl.pallas_call(
@@ -311,6 +343,8 @@ def _ln_matmul_call(x, gamma, beta, w, bias, eps: float,
         ],
         out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(vmem_limit_mb or VMEM_LIMIT_MB) * 1024 * 1024),
         interpret=_interpret(),
     )(x, gamma, beta, w, bias)
 
@@ -379,6 +413,7 @@ def _ln_qkv_call(x, gamma, beta, w, bias, eps: float, bm: int):
             pl.BlockSpec((bm, c), lambda i: (i, 0)),
         ],
         out_shape=[jax.ShapeDtypeStruct((m, c), x.dtype)] * 3,
+        compiler_params=_cparams(),
         interpret=_interpret(),
     )(x, gamma, beta, w, bias)
 
@@ -482,6 +517,7 @@ def _ln_qkv_rope_call(x, gamma, beta, w, bias, ct, st, eps: float, half: int,
         ],
         out_specs=pl.BlockSpec((3, bm, c), lambda i: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((3, m, c), x.dtype),
+        compiler_params=_cparams(),
         interpret=_interpret(),
     )(x, gamma, beta, w, bias, ct, st)
 
@@ -608,6 +644,7 @@ def _rms_matmul_replay(x, gamma, w, eps: float, act: Optional[str]):
         ],
         out_specs=out_specs,
         out_shape=out_shape,
+        compiler_params=_cparams(),
         interpret=_interpret(),
     )(x, gamma, w)
 
@@ -651,6 +688,7 @@ def _rms_matmul_call(x, gamma, w, eps: float, act: Optional[str], bm: int):
         ],
         out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        compiler_params=_cparams(),
         interpret=_interpret(),
     )(x, gamma, w)
 
@@ -712,6 +750,7 @@ def _rms_qkv3_call(x, gamma, wq, wk, wv, eps: float, bm: int):
             jax.ShapeDtypeStruct((m, nk), x.dtype),
             jax.ShapeDtypeStruct((m, nv), x.dtype),
         ],
+        compiler_params=_cparams(),
         interpret=_interpret(),
     )(x, gamma, wq, wk, wv)
 
@@ -777,6 +816,7 @@ def _matmul_res_call(x, w, bias, residual, bm: int):
         ],
         out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        compiler_params=_cparams(),
         interpret=_interpret(),
     )(x, w, bias, residual)
 

@@ -113,7 +113,7 @@ def _pick_block(s: int, max_block: int) -> int:
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
                 kv_steps: int, d: int, split: int = 1,
                 want_lse: bool = True, bnhd: bool = False,
-                ablate: str = ""):
+                kt: bool = False, ablate: str = ""):
     """Online-softmax forward step with the row-sum folded into the PV matmul.
 
     At D < 128 the PV contraction's output uses only D of the MXU's 128
@@ -131,6 +131,19 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
     until the merge, giving Mosaic's scheduler freedom to overlap sub-block
     j+1's QK matmul (MXU) with sub-block j's exp2 passes (VPU), which a
     single online chain serializes (m_new couples every element).
+
+    kt=True: k arrives PRE-TRANSPOSED as (B, H, D, Skv) blocks — the QK dot
+    contracts q's lanes against kT's SUBLANES, the MXU's natural operand
+    order.  Measured r4 at the decoder shape (S=15360, (1024,3840)x2):
+    10.71 vs 10.54 ms — NO win; Mosaic's minor-dim contraction does not pay
+    a per-tile transpose worth killing.  Kept for layout flexibility (a
+    caller that already has kT avoids one relayout).  The r4 attribution
+    that settled the hunt: nosoftmax (matmuls only) = 10.27 ms, exactly the
+    2-matmul MXU floor — at D=64 the PV's ones-extension makes PV cost the
+    SAME MXU time as QK (full-depth contraction into ONE 128-lane output
+    tile), so the kernel ceiling is ~95 TFLOP/s in useful flops, not the
+    4/(2/95+2/190) ~ 127 a naive accounting suggests, and 90.5 measured is
+    ~96% of it.
 
     `ablate` (diagnostics only, scripts/bench_flash_ablate.py — outputs are
     WRONG under any non-empty value): "nomax" pins every local max to 0.0
@@ -158,14 +171,20 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
     # copies per decoder layer), the grid's h axis striding the head dim
     # directly.  [0, :, 0] collapses the unit dims either way.
     q = q_ref[0, :, 0] if bnhd else q_ref[0, 0]  # (bq, D)
-    bk = k_ref.shape[1] if bnhd else k_ref.shape[2]
+    if kt:
+        bk = k_ref.shape[3]
+    else:
+        bk = k_ref.shape[1] if bnhd else k_ref.shape[2]
     sub = bk // split
     ones = jnp.ones((sub, _ones_width(d)), v_ref.dtype)
 
     # independent partial chains per sub-block (scores in the log2 domain)
     parts = []
     for j in range(split):
-        if bnhd:
+        if kt:
+            k = k_ref[0, 0, :, j * sub:(j + 1) * sub]  # (D, sub)
+            v = v_ref[0, 0, j * sub:(j + 1) * sub]
+        elif bnhd:
             k = k_ref[0, j * sub:(j + 1) * sub, 0]
             v = v_ref[0, j * sub:(j + 1) * sub, 0]
         else:
@@ -175,7 +194,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
         # the MXU already in the log2 domain, saving a full VPU multiply
         # pass over the (bq, sub) tile per kv step
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k,
+            (((1,), (0 if kt else 1,)), ((), ())),
+            preferred_element_type=jnp.float32
         )  # (bq, sub) fp32, log2 domain
         if ablate in ("nomax", "nosoftmax"):
             m_j = jnp.zeros((s.shape[0], 1), jnp.float32)
@@ -325,7 +346,7 @@ def _flash_forward_single(q, k, v, scale, want_lse=True):
 
 def _flash_forward(q, k, v, scale, bq, bk,
                    split=None, want_lse=True,
-                   bnhd=False, ablate="",
+                   bnhd=False, kt=False, ablate="",
                    vmem_limit_mb=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """split=None is the production auto mode: consider the whole-sequence
     single kernel first, then the tiled kernel with an auto-picked
@@ -344,18 +365,19 @@ def _flash_forward(q, k, v, scale, bq, bk,
             f"split={split} must divide bk={bk} into sublane-multiple "
             "sub-blocks")
     if bnhd:
+        assert not kt, "kt is a BHSD-path option"
         B, S, H, D = q.shape
         Skv = k.shape[1]
     else:
         B, H, S, D = q.shape
-        Skv = k.shape[2]
+        Skv = k.shape[3] if kt else k.shape[2]  # kt: k is (B, H, D, Skv)
     # pre-scale q by scale*log2(e): scores come off the MXU already in the
     # log2 domain, removing a VPU multiply pass over every score tile.  For
     # bf16 inputs this rounds q once more (~2^-9 relative on logits — the
     # same order as the bf16 input rounding itself); backward still
     # recomputes from the ORIGINAL q with the in-kernel multiply.
     q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
-    if (not bnhd and auto
+    if (not bnhd and not kt and auto
             and _pick_single_blocks(B, H, S, Skv, D, q.dtype.itemsize)[0]):
         return _flash_forward_single(q, k, v, scale, want_lse=want_lse)
     grid = (B, H, S // bq, Skv // bk)
@@ -372,6 +394,9 @@ def _flash_forward(q, k, v, scale, bq, bk,
         o_spec, o_shape = q_spec, jax.ShapeDtypeStruct((B, H, S, D), q.dtype)
         lse_spec = pl.BlockSpec((1, 1, bq, 1), lambda b, h, qi, ki: (b, h, qi, 0))
         lse_shape = jax.ShapeDtypeStruct((B, H, S, 1), jnp.float32)
+    k_spec = kv_spec
+    if kt:
+        k_spec = pl.BlockSpec((1, 1, D, bk), lambda b, h, qi, ki: (b, h, 0, ki))
     out_specs = [o_spec]
     out_shape = [o_shape]
     if want_lse:
@@ -380,9 +405,9 @@ def _flash_forward(q, k, v, scale, bq, bk,
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, kv_steps=Skv // bk,
                           d=D, split=split, want_lse=want_lse, bnhd=bnhd,
-                          ablate=ablate),
+                          kt=kt, ablate=ablate),
         grid=grid,
-        in_specs=[q_spec, kv_spec, kv_spec],
+        in_specs=[q_spec, k_spec, kv_spec],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[

@@ -1,12 +1,14 @@
 """Flash-forward stage attribution at the decoder shape (real TPU).
 
 The fusion decoder's attention is 23.19 of the 50.45 TFLOP headline pass and
-the flash kernel runs it at 90.5 TFLOP/s.  The often-quoted "~95 TFLOP/s
-D=64 speed-of-light" charges BOTH matmuls at half-MXU rate, but only QK^T
-contracts over D=64 — PV contracts over the kv block (full 128-lane rate
-with the ones-extension), so the pure-MXU ceiling is
-4/(2/95 + 2/190) ~ 127 TFLOP/s.  These probes measure how much of the gap
-to that ceiling is exposed VPU time (max-reduce + exp2) vs matmul floor:
+the flash kernel runs it at 90.5 TFLOP/s.  r4 RESOLUTION: the "~95 TFLOP/s
+D=64 speed-of-light" is in fact the kernel's true ceiling — PV contracts
+full-depth over the kv block BUT its ones-extended output is one 128-lane
+MXU tile, so PV costs the same MXU time as the half-depth QK (the
+4/(2/95 + 2/190) ~ 127 figure double-counts PV's idle-lane flops as free).
+Measured here: nosoftmax (matmuls only) = 10.27 ms = the 2-matmul floor
+exactly; full = 10.54 ms -> softmax/max ~97% hidden.  These probes measure
+how much of the gap to that ceiling is exposed VPU time vs matmul floor:
 
   full       the production kernel
   nomax      local max pinned to 0 (removes the cross-lane max-reduce)
@@ -61,6 +63,10 @@ def main():
     ap.add_argument("--bq", type=int, default=1024)
     ap.add_argument("--bk", type=int, default=3840)
     ap.add_argument("--split", type=int, default=2)
+    ap.add_argument("--kt", action="store_true",
+                    help="pre-transposed K layout (B,H,D,S); the transpose "
+                         "runs outside the timed region — it replaces the "
+                         "production wrapper's BNHD->BHSD relayout of k")
     ap.add_argument("--probes", default="full,nomax,nosoftmax,nopv")
     args = ap.parse_args()
 
@@ -75,6 +81,8 @@ def main():
                            jnp.bfloat16) for _ in range(3))
     scale = D ** -0.5
     tflop = 4 * B * H * S * S * D / 1e12
+    if args.kt:
+        k = jnp.swapaxes(k, 2, 3)  # (B, H, D, S)
 
     results = {}
     for probe in args.probes.split(","):
@@ -83,7 +91,7 @@ def main():
         def fn(q_, k_, v_, _abl=abl):
             o, _ = _flash_forward(q_, k_, v_, scale, args.bq, args.bk,
                                   split=args.split, want_lse=False,
-                                  ablate=_abl)
+                                  kt=args.kt, ablate=_abl)
             return o
 
         t = timed(fn, q, k, v)

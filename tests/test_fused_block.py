@@ -199,10 +199,15 @@ def test_supported_gate_respects_dtype():
     from fast3r_tpu.models.llama_decoder import LlamaDecoderConfig
 
     assert fb.fused_block_supported((20, 768), 1024, 4096, itemsize=2)
-    assert not fb.fused_block_supported((20, 768), 1024, 4096, itemsize=4)
+    # r4: the VMEM budget raise (12 -> 64 MiB, measured bm sweep) means the
+    # flagship shapes now tile at fp32 too — the gate must agree with
+    # _pick_bm in BOTH directions, so assert the positive...
+    assert fb.fused_block_supported((20, 768), 1024, 4096, itemsize=4)
+    # ...and keep a genuinely untileable fp32 case (fc1 weight alone is
+    # 4096*16384*4 = 256 MiB, past any VMEM budget)
+    assert not fb.fused_block_supported((20, 768), 4096, 16384, itemsize=4)
     cfg = LlamaDecoderConfig()
     assert fb.fused_llama_supported((1, 15360), cfg, itemsize=2)
-    assert not fb.fused_llama_supported((1, 15360), cfg, itemsize=4)
 
 
 def test_ln_qkv_rope_matches_plain(block_setup):
