@@ -68,6 +68,102 @@ def _load_batch(epoch: Optional[int], idxs: List):
     return [_WORKER_DATASET[i] for i in idxs]
 
 
+# ---------------------------------------------------------------------------
+# shared-memory array transport
+# ---------------------------------------------------------------------------
+#
+# Pickling a batch's arrays through the pool's result pipe caps the loader at
+# ~125 MB/s (r4 measurement, scripts/bench_data_pipeline.py: 6 workers were
+# SLOWER than inline — 20.8 vs 30.9 img/s at ~6 MB/view of f32 payload).
+# Instead the worker packs every large array of the batch into ONE
+# SharedMemory block and returns just (block name, index); the parent
+# reconstructs with a single memcpy per array and unlinks the block.  This
+# is the same trick torch's DataLoader plays with tensors in shared memory
+# (reference relies on it implicitly via torch multiprocessing).
+
+_SHM_MIN_BYTES = 1 << 16  # small arrays ride the pickle path
+
+
+def _shm_pack(views_batch):
+    """Replace large ndarrays in [scene][view] dicts with placeholders and
+    pack their bytes into one SharedMemory block."""
+    from multiprocessing import shared_memory
+
+    arrays = []
+    total = 0
+    skeleton = []
+    for views in views_batch:
+        out_views = []
+        for view in views:
+            out = {}
+            for key, val in view.items():
+                if (isinstance(val, np.ndarray)
+                        and val.nbytes >= _SHM_MIN_BYTES):
+                    arr = np.ascontiguousarray(val)
+                    out[key] = ("__shm__", len(arrays), arr.shape,
+                                arr.dtype.str)
+                    arrays.append((total, arr))
+                    total += arr.nbytes
+                else:
+                    out[key] = val
+            out_views.append(out)
+        skeleton.append(out_views)
+    if not arrays:
+        return None, skeleton
+    shm = shared_memory.SharedMemory(create=True, size=total)
+    for offset, arr in arrays:
+        shm.buf[offset:offset + arr.nbytes] = arr.tobytes()
+    name = shm.name
+    shm.close()
+    # the PARENT owns the block's lifetime (it unlinks after the copy-out);
+    # keep this worker's resource_tracker from reclaiming it at pool
+    # shutdown and warning about a leak
+    try:
+        from multiprocessing import resource_tracker
+
+        resource_tracker.unregister(f"/{name}", "shared_memory")
+    except Exception:
+        pass
+    offsets = [off for off, _ in arrays]
+    return (name, offsets), skeleton
+
+
+def _shm_unpack(packed):
+    """Parent side: rebuild the [scene][view] dicts, one memcpy per array."""
+    from multiprocessing import shared_memory
+
+    meta, skeleton = packed
+    if meta is None:
+        return skeleton
+    name, offsets = meta
+    shm = shared_memory.SharedMemory(name=name)
+    try:
+        out_batches = []
+        for views in skeleton:
+            out_views = []
+            for view in views:
+                out = {}
+                for key, val in view.items():
+                    if isinstance(val, tuple) and len(val) == 4 \
+                            and val[0] == "__shm__":
+                        _, i, shape, dtype = val
+                        arr = np.ndarray(shape, dtype,
+                                         buffer=shm.buf, offset=offsets[i])
+                        out[key] = arr.copy()
+                    else:
+                        out[key] = val
+                out_views.append(out)
+            out_batches.append(out_views)
+        return out_batches
+    finally:
+        shm.close()
+        shm.unlink()
+
+
+def _load_batch_shm(epoch: Optional[int], idxs: List):
+    return _shm_pack(_load_batch(epoch, idxs))
+
+
 class DataLoader:
     """Minimal prefetching loader over a BatchedRandomSampler.
 
@@ -77,7 +173,8 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, sampler=None,
                  num_workers: int = 0, collate_fn=collate_views,
-                 prefetch: int = 4, drop_last: bool = True):
+                 prefetch: int = 4, drop_last: bool = True,
+                 shm: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = sampler
@@ -85,6 +182,10 @@ class DataLoader:
         self.collate_fn = collate_fn
         self.prefetch = max(prefetch, 1)
         self.drop_last = drop_last
+        # shared-memory array transport (see _shm_pack): multiplies loader
+        # throughput at flagship view sizes vs pickling through the result
+        # pipe; disable to debug worker payloads
+        self.shm = shm
         self._pool: Optional[ProcessPoolExecutor] = None
         self._epoch: Optional[int] = None
 
@@ -132,19 +233,29 @@ class DataLoader:
                 initializer=_init_worker,
                 initargs=(self.dataset,),
             )
+        load = _load_batch_shm if self.shm else _load_batch
+        unpack = _shm_unpack if self.shm else (lambda r: r)
         batches = self._index_batches()
         inflight = []
         try:
             for idxs in itertools.islice(batches, self.prefetch):
-                inflight.append(self._pool.submit(_load_batch, epoch, idxs))
+                inflight.append(self._pool.submit(load, epoch, idxs))
             for idxs in batches:
                 done = inflight.pop(0)
-                inflight.append(self._pool.submit(_load_batch, epoch, idxs))
-                yield self.collate_fn(done.result())
-            for fut in inflight:
-                yield self.collate_fn(fut.result())
+                inflight.append(self._pool.submit(load, epoch, idxs))
+                yield self.collate_fn(unpack(done.result()))
+            while inflight:
+                yield self.collate_fn(unpack(inflight.pop(0).result()))
         finally:
-            pass  # keep the pool for the next epoch
+            # keep the pool for the next epoch, but if the consumer stopped
+            # mid-epoch, reclaim the in-flight SHM blocks (their lifetime is
+            # parent-owned — see _shm_pack)
+            if self.shm:
+                for fut in inflight:
+                    try:
+                        _shm_unpack(fut.result())
+                    except Exception:
+                        pass
 
     def close(self):
         if self._pool is not None:

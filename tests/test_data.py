@@ -150,6 +150,36 @@ def test_loader_multiprocess_matches_inline():
         np.testing.assert_array_equal(x["pts3d"], y["pts3d"])
 
 
+def test_loader_shm_transport_matches_pickle():
+    """r4: workers ship large arrays via one SharedMemory block per batch
+    (pickle through the result pipe measured ~125 MB/s and made 6 workers
+    slower than inline).  Force every array through SHM and compare against
+    the pickle path bit-for-bit."""
+    from fast3r_tpu.data.loader import _SHM_MIN_BYTES
+
+    # (160, 128) puts img/pts3d (245 KB f32) over the SHM threshold while
+    # masks/poses stay on the pickle path — both roads in one batch
+    assert 3 * 128 * 160 * 4 > _SHM_MIN_BYTES > 4 * 4 * 4
+    ds_str = ("8 @ DummyMultiview(num_scenes=4, num_views=2, "
+              "resolution=[(160, 128)], seed=777)")
+    l_shm = get_data_loader(ds_str, batch_size=2, num_workers=2)
+    assert l_shm.shm
+    l_pkl = get_data_loader(ds_str, batch_size=2, num_workers=2)
+    l_pkl.shm = False
+    for l in (l_shm, l_pkl):
+        l.dataset.set_epoch(0)
+        l.sampler.set_epoch(0)
+    b_shm = list(l_shm)
+    b_pkl = list(l_pkl)
+    l_shm.close()
+    l_pkl.close()
+    assert len(b_shm) == len(b_pkl) > 0
+    for x, y in zip(b_shm, b_pkl):
+        for key in ("imgs", "pts3d", "valid_mask", "camera_pose",
+                    "depthmap", "true_shapes"):
+            np.testing.assert_array_equal(x[key], y[key])
+
+
 def test_loader_feeds_train_step():
     import jax
     import jax.numpy as jnp
