@@ -220,6 +220,13 @@ class BatchedRandomSampler:
             (self.total_size + self.world_size * self.batch_size - 1)
             // (self.world_size * self.batch_size)
         )
+        # ceil-division per rank vs floor-rounded total_size: equal slices
+        # are only guaranteed when total_size divides by world_size *
+        # batch_size, which the drop_last invariant (asserted in __init__)
+        # enforces whenever world_size > 1; single-process drop_last=False
+        # just takes the whole array.
+        assert self.world_size == 1 or \
+            size_per_proc * self.world_size == self.total_size
         idxs = idxs[self.rank * size_per_proc:(self.rank + 1) * size_per_proc]
         yield from (tuple(int(v) for v in idx) for idx in idxs)
 

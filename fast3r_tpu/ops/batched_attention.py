@@ -67,6 +67,9 @@ GROUP = 4  # head units DMA'd + computed per loop iteration (r3: amortizes
 LANE = 128
 MAX_SEQ = 1024  # whole-row single-pass softmax must fit VMEM
 VMEM_BUDGET = 10 * 1024 * 1024
+# the fused-qkv kernel's view-grouped slot ring is allowed a bigger live set
+# (v5e VMEM is 128 MiB; the pallas_call passes an explicit 100 MiB limit)
+VMEM_BUDGET_FUSEDQKV = 40 * 1024 * 1024
 
 
 def _vmem_estimate(n: int, itemsize: int, g: int) -> int:
@@ -486,53 +489,88 @@ _packed_bnhd.defvjp(_packed_bnhd_fwd, _packed_bnhd_bwd)
 
 def _fusedqkv_kernel(qkv_hbm, o_hbm, qkv_vmem, o_vmem, vext_vmem,
                      in_sem, out_sem,
-                     *, nv: int, npg: int, g: int, n: int, d: int,
-                     scale: float):
+                     *, nv: int, npg: int, g: int, gv: int, n: int, d: int,
+                     scale: float, nslots: int):
+    """gv VIEWS per DMA unit (r4): a unit is (view-group, head-group) and its
+    input arrives as ONE (3, gv, N, g*d) strided copy.  At ~4 us of MXU work
+    per head the per-unit DMA issue/wait latency dominates the packed kernels
+    (r3 dmaonly == full); grouping views multiplies the compute per wait by
+    gv without changing total bytes, cutting the number of issue/wait pairs
+    from nv*npg to (nv/gv)*npg."""
     gd = g * d
+    nvg = nv // gv
 
     def in_dma(slot, u):
-        vi = u // npg
+        vi = (u // npg) * gv
         lo = (u % npg) * gd
-        return pltpu.make_async_copy(qkv_hbm.at[:, vi, :, pl.ds(lo, gd)],
-                                     qkv_vmem.at[slot], in_sem.at[slot])
+        return pltpu.make_async_copy(
+            qkv_hbm.at[:, pl.ds(vi, gv), :, pl.ds(lo, gd)],
+            qkv_vmem.at[slot], in_sem.at[slot])
 
     def out_dma(slot, u):
-        vi = u // npg
+        vi = (u // npg) * gv
         lo = (u % npg) * gd
         return pltpu.make_async_copy(o_vmem.at[slot],
-                                     o_hbm.at[vi, :, pl.ds(lo, gd)],
+                                     o_hbm.at[pl.ds(vi, gv), :, pl.ds(lo, gd)],
                                      out_sem.at[slot])
 
-    for u in range(NSLOTS_PACKED - 1):
-        in_dma(u % NSLOTS_PACKED, u).start()
+    ng = nvg * npg
+    # ng can be smaller than the ring (tiny shapes): pl.ds bound-checks the
+    # view slice statically, so never issue a DMA for a unit past ng
+    for u in range(min(nslots - 1, ng)):
+        in_dma(u % nslots, u).start()
 
     vext_vmem[:, d:] = jnp.ones((n, d), vext_vmem.dtype)
-    ng = nv * npg
 
     def body(u, _):
-        slot = jax.lax.rem(u, NSLOTS_PACKED)
-        pre = u + NSLOTS_PACKED - 1
+        slot = jax.lax.rem(u, nslots)
+        pre = u + nslots - 1
 
         @pl.when(pre < ng)
         def _prefetch():
-            in_dma(jax.lax.rem(pre, NSLOTS_PACKED), pre).start()
+            in_dma(jax.lax.rem(pre, nslots), pre).start()
 
         in_dma(slot, u).wait()
 
-        @pl.when(u >= NSLOTS_PACKED)
+        @pl.when(u >= nslots)
         def _reclaim():
-            out_dma(slot, u - NSLOTS_PACKED).wait()
+            out_dma(slot, u - nslots).wait()
 
-        _packed_compute_slot(qkv_vmem, o_vmem, vext_vmem, slot, g, n, d,
-                             scale)
+        for vi in range(gv):
+            _packed_compute_slot(qkv_vmem.at[:, :, vi], o_vmem.at[:, vi],
+                                 vext_vmem, slot, g, n, d, scale)
         out_dma(slot, u).start()
         return 0
 
     jax.lax.fori_loop(0, ng, body, 0)
 
-    for i in range(min(NSLOTS_PACKED, ng)):
+    for i in range(min(nslots, ng)):
         u = ng - 1 - i
-        out_dma(u % NSLOTS_PACKED, u).wait()
+        out_dma(u % nslots, u).wait()
+
+
+def _vmem_estimate_fusedqkv(n: int, itemsize: int, g: int, gv: int,
+                            nslots: int, d: int) -> int:
+    slab = g * d
+    tiles = nslots * 4 * gv * n * slab * itemsize      # qkv in + o out rings
+    vext = n * (2 * d) * itemsize
+    scores = n * (n // SPLIT) * (4 + itemsize) * SPLIT
+    acc = n * (2 * d) * 4
+    return tiles + vext + scores + acc
+
+
+def _pick_gv(nv: int, n: int, itemsize: int, g: int, d: int,
+             nslots: int) -> int:
+    """Views per DMA unit.  Largest divisor of nv whose slot ring fits the
+    fused-qkv budget; capped so a 2-deep ring still has >= 2 units to
+    overlap."""
+    for gv in (10, 5, 4, 2, 1):
+        if nv % gv or nv // gv < nslots:
+            continue
+        if _vmem_estimate_fusedqkv(n, itemsize, g, gv, nslots, d) \
+                <= VMEM_BUDGET_FUSEDQKV:
+            return gv
+    return 1
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
@@ -541,22 +579,25 @@ def _fusedqkv_bnc(qkv3, num_heads, scale):
     D = C // num_heads
     g = _pick_pgroup(num_heads, N, qkv3.dtype.itemsize, D)
     npg = num_heads // g
+    nslots = NSLOTS_PACKED
+    gv = _pick_gv(B, N, qkv3.dtype.itemsize, g, D, nslots)
     return pl.pallas_call(
-        functools.partial(_fusedqkv_kernel, nv=B, npg=npg, g=g, n=N, d=D,
-                          scale=float(scale)),
+        functools.partial(_fusedqkv_kernel, nv=B, npg=npg, g=g, gv=gv,
+                          n=N, d=D, scale=float(scale), nslots=nslots),
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         out_shape=jax.ShapeDtypeStruct((B, N, C), qkv3.dtype),
         scratch_shapes=[
-            pltpu.VMEM((NSLOTS_PACKED, 3, N, g * D), qkv3.dtype),
-            pltpu.VMEM((NSLOTS_PACKED, N, g * D), qkv3.dtype),
+            pltpu.VMEM((nslots, 3, gv, N, g * D), qkv3.dtype),
+            pltpu.VMEM((nslots, gv, N, g * D), qkv3.dtype),
             pltpu.VMEM((N, 2 * D), qkv3.dtype),
-            pltpu.SemaphoreType.DMA((NSLOTS_PACKED,)),
-            pltpu.SemaphoreType.DMA((NSLOTS_PACKED,)),
+            pltpu.SemaphoreType.DMA((nslots,)),
+            pltpu.SemaphoreType.DMA((nslots,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interpret(),
     )(qkv3)

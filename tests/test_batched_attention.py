@@ -198,6 +198,25 @@ def test_fusedqkv_single_dma_matches_packed():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_fusedqkv_view_grouped_dma():
+    """r4 view-grouped units: at B >= 2*NSLOTS_PACKED the fused-qkv kernel
+    DMAs gv > 1 views per unit — the grouped path must match the naive
+    reference exactly like the per-view path does."""
+    from fast3r_tpu.ops import batched_attention as ba
+
+    B, N, H, D = 8, 128, 4, 64
+    assert ba._pick_gv(B, N, 4, ba._pick_pgroup(H, N, 4, D), D,
+                       ba.NSLOTS_PACKED) > 1
+    ks = jax.random.split(jax.random.key(11), 3)
+    q, k, v = (_mk(x, (B, N, H, D), jnp.float32) for x in ks)
+    scale = 0.125
+    qkv3 = jnp.stack([t.reshape(B, N, H * D) for t in (q, k, v)])
+    out = np.asarray(ba.packed_qkv_attention(qkv3, H, scale))
+    naive = np.asarray(dot_product_attention(q, k, v, scale, impl="naive"))
+    np.testing.assert_allclose(out, naive.reshape(B, N, H * D),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_fusedqkv_gradients_match_naive():
     from fast3r_tpu.ops.batched_attention import packed_qkv_attention
 
