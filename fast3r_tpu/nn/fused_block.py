@@ -59,6 +59,12 @@ def _bm_target(k: int, n: int) -> int:
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
+
+# Opt-in whole-MLP fusion (see _fused_block_impl): slower at the headline
+# shape, but caps the MLP transient at one row tile — set True for
+# memory-bound giant-sequence passes (scripts/bench_1000view.py).
+PREFER_FUSED_MLP = False
+
 def _cparams():
     return pltpu.CompilerParams(
         vmem_limit_bytes=VMEM_LIMIT_MB * 1024 * 1024)
@@ -216,6 +222,28 @@ def _matmul_res_kernel(x_ref, w_ref, bias_ref, r_ref, o_ref):
         preferred_element_type=jnp.float32,
     ) + bias_ref[:].astype(jnp.float32)
     o_ref[:] = (r_ref[:].astype(jnp.float32) + out).astype(o_ref.dtype)
+
+
+def _ln_mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   o_ref, *, eps: float):
+    """Whole pre-LN MLP sublayer per row tile: y = x + GELU(LN(x)W1+b1)W2+b2.
+
+    Fusing fc1 -> gelu -> fc2 keeps the (bm, hidden) activation in VMEM —
+    the two-kernel road writes the full (M, hidden) GELU output to HBM and
+    immediately re-reads it (252 MB per layer at the headline M=15360,
+    6.3 GB at the 1000-view 512-res shape — the transient that forces the
+    staged pass to spill decoder hooks to host)."""
+    u = _ln_f32(x_ref[:], g_ref[:], b_ref[:], eps).astype(x_ref.dtype)
+    z = jax.lax.dot_general(
+        u, w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[:].astype(jnp.float32)
+    h = _gelu_exact(z).astype(x_ref.dtype)
+    y = jax.lax.dot_general(
+        h, w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[:].astype(jnp.float32)
+    o_ref[:] = (x_ref[:].astype(jnp.float32) + y).astype(o_ref.dtype)
 
 
 def _ln_matmul_replay_kernel(x_ref, g_ref, b_ref, w_ref, bias_ref,
@@ -863,6 +891,102 @@ def matmul_residual(x, w, bias, residual):
 
 
 # ---------------------------------------------------------------------------
+# fully-fused MLP sublayer (LN -> fc1 -> GELU -> fc2 -> +residual)
+# ---------------------------------------------------------------------------
+
+def _pick_bm_mlp(m: int, k: int, n: int, itemsize: int) -> int:
+    """Row tile for the whole-MLP kernel: BOTH weights resident plus the
+    (bm, n) fp32 pre-activation and its bf16 cast live in VMEM."""
+    w_bytes = (2 * k * n + n + k) * itemsize
+    fits = []
+    bm = 8
+    while bm <= 1024:
+        if m % bm == 0:
+            need = (w_bytes
+                    + 4 * bm * k * itemsize     # x in + o out, double-buffered
+                    + bm * n * (4 + itemsize)   # z fp32 + h cast
+                    + 3 * bm * k * 4)           # fp32 LN live set
+            if need <= VMEM_BUDGET:
+                fits.append(bm)
+        bm += 8
+    if not fits:
+        return 0
+    below = [b for b in fits if b <= 512]
+    return max(below) if below else min(fits)
+
+
+def _ln_mlp_call(x, gamma, beta, w1, b1, w2, b2, eps: float, bm: int):
+    m, k = x.shape
+    n = w1.shape[1]
+    return pl.pallas_call(
+        functools.partial(_ln_mlp_kernel, eps=eps),
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0)),
+            pl.BlockSpec((k,), lambda i: (0,)),
+            pl.BlockSpec((k,), lambda i: (0,)),
+            pl.BlockSpec((k, n), lambda i: (0, 0)),
+            pl.BlockSpec((n,), lambda i: (0,)),
+            pl.BlockSpec((n, k), lambda i: (0, 0)),
+            pl.BlockSpec((k,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((bm, k), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, k), x.dtype),
+        compiler_params=_cparams(),
+        interpret=_interpret(),
+    )(x, gamma, beta, w1, b1, w2, b2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _ln_mlp_p(x, gamma, beta, w1, b1, w2, b2, eps):
+    m, k = x.shape
+    bm = _pick_bm_mlp(m, k, w1.shape[1], x.dtype.itemsize)
+    return _ln_mlp_call(x, gamma, beta, w1, b1, w2, b2, eps, bm)
+
+
+def _ln_mlp_ref(x, gamma, beta, w1, b1, w2, b2, eps):
+    """Two-kernel composition the backward replays through (their custom
+    VJPs run the fused replay/backward kernels)."""
+    h = _ln_matmul_p(x, gamma, beta, w1, b1, eps, "gelu")
+    return _matmul_res_p(h, w2, b2, x)
+
+
+def _ln_mlp_p_fwd(x, gamma, beta, w1, b1, w2, b2, eps):
+    out = _ln_mlp_p(x, gamma, beta, w1, b1, w2, b2, eps)
+    return out, (x, gamma, beta, w1, b1, w2, b2)
+
+
+def _ln_mlp_p_bwd(eps, res, g):
+    x, gamma, beta, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda *a: _ln_mlp_ref(*a, eps), x, gamma, beta, w1, b1, w2, b2)
+    return vjp(g)
+
+
+_ln_mlp_p.defvjp(_ln_mlp_p_fwd, _ln_mlp_p_bwd)
+
+
+def ln_mlp(x, gamma, beta, w1, b1, w2, b2, eps: float):
+    """x + GELU(LN(x) @ w1 + b1) @ w2 + b2 in ONE kernel — the (M, hidden)
+    GELU activation never touches HBM.  Returns None if untileable (caller
+    falls back to ln_matmul + matmul_residual)."""
+    m, k = x.shape
+    n = w1.shape[1]
+    if k % 128 or n % 128 or w2.shape != (n, k):
+        return None
+    if _pick_bm_mlp(m, k, n, x.dtype.itemsize) == 0:
+        return None
+    # backward replays through the two-kernel road — both must tile
+    wb1 = w1.size * w1.dtype.itemsize
+    if _pick_bm(m, k, n, wb1, x.dtype.itemsize) == 0 or \
+            _pick_bm_replay(m, k, n, wb1, x.dtype.itemsize) == 0 or \
+            _pick_bm(m, n, k, w2.size * w2.dtype.itemsize,
+                     x.dtype.itemsize) == 0:
+        return None
+    return _ln_mlp_p(x, gamma, beta, w1, b1, w2, b2, eps)
+
+
+# ---------------------------------------------------------------------------
 # fused pre-LN ViT block
 # ---------------------------------------------------------------------------
 
@@ -913,6 +1037,22 @@ def _fused_block_impl(p, x, rope_cos_sin, num_heads, scale, attn_impl,
                          p["attn"]["proj"]["b"].astype(x.dtype), x2)
     if x2 is None:
         return None
+
+    if PREFER_FUSED_MLP:
+        # memory-lean road: the (M, hidden) GELU activation never touches
+        # HBM.  NOT the default — at the headline shape it measured ~0.3
+        # ms/layer SLOWER than the two-kernel pipeline (45.31 vs 46.78
+        # img/s, r4: the in-tile fc1 -> fc2 dependency serializes what the
+        # two-kernel road overlaps); it exists for transient-bound shapes
+        # (1000 views @ 512-res: the 6.3 GB fc1 transient forces host hook
+        # spill without it).
+        mlp_out = ln_mlp(x2, p["norm2"]["scale"], p["norm2"]["bias"],
+                         p["mlp"]["fc1"]["w"].astype(x.dtype),
+                         p["mlp"]["fc1"]["b"].astype(x.dtype),
+                         p["mlp"]["fc2"]["w"].astype(x.dtype),
+                         p["mlp"]["fc2"]["b"].astype(x.dtype), ln_eps)
+        if mlp_out is not None:
+            return mlp_out.reshape(B, N, C)
 
     h = ln_matmul(x2, p["norm2"]["scale"], p["norm2"]["bias"],
                   p["mlp"]["fc1"]["w"].astype(x.dtype),

@@ -563,7 +563,16 @@ def _pick_gv(nv: int, n: int, itemsize: int, g: int, d: int,
              nslots: int) -> int:
     """Views per DMA unit.  Largest divisor of nv whose slot ring fits the
     fused-qkv budget; capped so a 2-deep ring still has >= 2 units to
-    overlap."""
+    overlap.
+
+    r4 attribution at (20, 768, 16, 64), gv=5 ns=4 (bench_fusedqkv_ablate):
+    full 0.974 / nosoftmax 0.852 / dmaonly 0.517 ms — the kernel is
+    COMPUTE-bound (nosoftmax ~ 0.85 vs the 0.51 pure-MXU floor; VPU softmax
+    exposes only ~0.12).  Two negative results to save re-deriving: a g=16
+    whole-C slab (fully contiguous per-view DMAs) measured the same 0.96 ms
+    AND produced wrong numerics on hardware (max|d| 0.94 vs naive — lane
+    slicing at >=512-lane offsets miscompiles silently; interpret mode
+    passes); gv=5 ns=2 measured 1.46 ms (ring too shallow)."""
     for gv in (10, 5, 4, 2, 1):
         if nv % gv or nv // gv < nslots:
             continue

@@ -45,6 +45,39 @@ def test_ln_matmul_kernel(block_setup):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_ln_mlp_fused_sublayer(block_setup):
+    """r4 whole-MLP kernel: x + GELU(LN(x)W1+b1)W2+b2 in one program must
+    match the plain composition, and its grads (which replay through the
+    two-kernel road) must match plain jax.grad."""
+    p, x = block_setup
+    x2 = x.reshape(-1, C)
+    g, b = p["norm2"]["scale"], p["norm2"]["bias"]
+    w1, b1 = p["mlp"]["fc1"]["w"], p["mlp"]["fc1"]["b"]
+    w2, b2 = p["mlp"]["fc2"]["w"], p["mlp"]["fc2"]["b"]
+
+    out = fb.ln_mlp(x2, g, b, w1, b1, w2, b2, 1e-6)
+    assert out is not None
+
+    def ref_fn(x2, g, b, w1, b1, w2, b2):
+        mean = jnp.mean(x2, -1, keepdims=True)
+        var = jnp.var(x2, -1, keepdims=True)
+        y = (x2 - mean) * jax.lax.rsqrt(var + 1e-6) * g + b
+        h = jax.nn.gelu(y @ w1 + b1, approximate=False)
+        return x2 + h @ w2 + b2
+
+    ref = ref_fn(x2, g, b, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    grads = jax.grad(lambda *a: fb.ln_mlp(*a, 1e-6).sum(),
+                     argnums=(0, 3, 5))(x2, g, b, w1, b1, w2, b2)
+    ref_grads = jax.grad(lambda *a: ref_fn(*a).sum(),
+                         argnums=(0, 3, 5))(x2, g, b, w1, b1, w2, b2)
+    for got, want in zip(grads, ref_grads):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=5e-4, atol=5e-4)
+
+
 def test_ln_qkv_split(block_setup):
     p, x = block_setup
     x2 = x.reshape(-1, C)
