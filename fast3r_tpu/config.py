@@ -221,6 +221,9 @@ def optim_config_from_dict(d: Dict) -> OptimConfig:
         total_steps=int(d.get("total_steps", 100_000)),
         eta_min=float(d.get("eta_min", 1e-6)),
         grad_clip=d.get("grad_clip"),
+        lr_scales=(tuple(sorted(
+            (str(k), float(v)) for k, v in d["lr_scales"].items()))
+            if d.get("lr_scales") else None),
     )
 
 

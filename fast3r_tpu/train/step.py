@@ -38,6 +38,12 @@ class OptimConfig:
     total_steps: int = 100_000
     eta_min: float = 1e-6
     grad_clip: Optional[float] = None
+    # per-param-group LR scaling, the optim_factory.adjust_learning_rate_by_lr
+    # contract (reference dust3r/optim_factory.py:15-20: groups carrying
+    # "lr_scale" step at lr * lr_scale).  Keys match top-level param-tree
+    # prefixes ("encoder", "decoder", "head_global", "head_local"); unlisted
+    # groups step at the unscaled schedule.
+    lr_scales: Optional[Tuple[Tuple[str, float], ...]] = None
 
 
 def make_schedule(cfg: OptimConfig):
@@ -52,6 +58,28 @@ def make_schedule(cfg: OptimConfig):
     )
 
 
+def _scale_by_param_group(lr_scales) -> optax.GradientTransformation:
+    """Scale each top-level param group's updates by its lr_scale — applied
+    AFTER adamw so it scales the effective LR exactly like the reference's
+    per-group `lr * lr_scale` (optim_factory.py:15-20), not the gradient
+    entering the moment estimates."""
+    scales = dict(lr_scales)
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+
+        def scale(path, u):
+            return u * scales.get(path[0].key, 1.0)
+
+        return (jax.tree_util.tree_map_with_path(scale, updates), state)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     tx = optax.adamw(
         learning_rate=make_schedule(cfg),
@@ -59,6 +87,8 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
         b2=cfg.betas[1],
         weight_decay=cfg.weight_decay,
     )
+    if cfg.lr_scales:
+        tx = optax.chain(tx, _scale_by_param_group(cfg.lr_scales))
     if cfg.grad_clip is not None:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
     return tx

@@ -42,6 +42,14 @@ def main():
                          "the four device-resident hooks (4 x 1.57 GB) plus "
                          "the per-layer MLP transient (6.3 GB at S=768k) "
                          "exceed the 16 GB HBM")
+    ap.add_argument("--fused-mlp", action="store_true",
+                    help="whole-MLP kernel in the decoder blocks "
+                         "(nn/fused_block.ln_mlp): caps the fc1 transient "
+                         "at one row tile instead of 6.3 GB at S=768k, "
+                         "freeing enough HBM to keep hooks device-resident "
+                         "(skip --host-hooks) at 512-res — the host spill + "
+                         "re-upload rides the tunnel and dominates the r3 "
+                         "staging tax")
     args = ap.parse_args()
     if args.staged:
         return main_staged(args)
@@ -100,6 +108,11 @@ def main_staged(args):
     from fast3r_tpu.models.encoder import encoder_forward
     from fast3r_tpu.models.fast3r import Fast3RConfig, init_fast3r
     from fast3r_tpu.nn.layers import layernorm, linear, run_vit_stack
+
+    if args.fused_mlp:
+        from fast3r_tpu.nn import fused_block
+
+        fused_block.PREFER_FUSED_MLP = True
 
     cfg = Fast3RConfig.flagship(attn_impl="pallas")
     params = jax.tree.map(

@@ -46,6 +46,32 @@ def test_train_step_runs_and_decreases_loss():
     assert int(state.step) == 8
 
 
+def test_lr_scales_per_param_group():
+    """r4: OptimConfig.lr_scales reproduces optim_factory's per-group
+    `lr * lr_scale` (reference dust3r/optim_factory.py:15-20): a group's
+    param delta scales exactly, other groups are bit-identical."""
+    from fast3r_tpu.train.step import make_optimizer
+
+    cfg, params, batch, optim_cfg = _tiny_setup()
+    scaled_cfg = OptimConfig(warmup_steps=5, total_steps=100,
+                             weight_decay=0.0,
+                             lr_scales=(("encoder", 0.25),))
+    base_cfg = OptimConfig(warmup_steps=5, total_steps=100, weight_decay=0.0)
+
+    grads = jax.tree.map(jnp.ones_like, params)
+    for oc, want_scale in ((base_cfg, 1.0), (scaled_cfg, 0.25)):
+        tx = make_optimizer(oc)
+        opt_state = tx.init(params)
+        updates, _ = tx.update(grads, opt_state, params)
+        enc = np.asarray(jax.tree.leaves(updates["encoder"])[0])
+        dec = np.asarray(jax.tree.leaves(updates["decoder"])[0])
+        if want_scale == 1.0:
+            base_enc, base_dec = enc, dec
+        else:
+            np.testing.assert_allclose(enc, base_enc * want_scale, rtol=1e-6)
+            np.testing.assert_array_equal(dec, base_dec)
+
+
 def test_train_step_sharded_8dev():
     """DP x TP over an 8-device CPU mesh (ddp_sim equivalent, SURVEY.md §4)."""
     assert len(jax.devices()) == 8
