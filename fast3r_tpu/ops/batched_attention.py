@@ -52,7 +52,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fast3r_tpu.ops.flash_attention import LOG2E, _interpret
+from fast3r_tpu.ops.flash_attention import LN2, LOG2E, _interpret
 
 NSLOTS = 2
 NSLOTS_PACKED = 4  # deeper ring for the packed kernel: at NSLOTS=2 the
@@ -621,6 +621,9 @@ def _fusedqkv_bwd(num_heads, scale, res, gout):
     _, B, N, C = qkv3.shape
     D = C // num_heads
 
+    if packed_qkv_bwd_supported((B, N, num_heads, D), qkv3.dtype):
+        return (packed_qkv_attention_bwd(qkv3, gout, num_heads, scale),)
+
     def f(t):
         q, k, v = (t[i].reshape(B, N, num_heads, D) for i in range(3))
         return _replay_reference(q, k, v, scale).reshape(B, N, C)
@@ -630,6 +633,170 @@ def _fusedqkv_bwd(num_heads, scale, res, gout):
 
 
 _fusedqkv_bnc.defvjp(_fusedqkv_fwd, _fusedqkv_bwd)
+
+
+# ----------------------------------------------------------------------------
+# v4 (r4): manual-DMA BACKWARD kernel for the fused-qkv road
+# ----------------------------------------------------------------------------
+#
+# The r4 train-step attribution (scripts/bench_train_ablate.py) put
+# bwd-encoder at 0.390 s/step — its attention backward replayed through the
+# bf16-logits XLA path, which materializes p / dp as (B, H, N, N) HBM
+# arrays (~0.38 GB per layer each way) and runs the 5 backward matmuls at
+# XLA's in-context rates.  This kernel computes the whole attention backward
+# per (view, head-group) unit with the score matrices living ONLY in VMEM:
+#
+#   recompute  s = c*(q k^T)  (log2 domain, c = scale*log2e; lse is NOT
+#   saved by the forward — residuals are just qkv3), P = exp2(s - m)/l,
+#   then  dv = P^T do,  dp = do v^T,  delta = rowsum(P*dp),
+#   ds0 = P*(dp - delta),  dq = scale*(ds0 @ k),  dk = ln2*(ds0^T @ qs)
+#   (qs = c*q, so the scale folds exactly like _bwd_dkv_kernel's).
+#
+# fp32 logits throughout — gradient fidelity is BETTER than the bf16-logits
+# XLA replay this supersedes (ADVICE r3 noted that path's ~2^-9 logit
+# rounding as an accepted tradeoff; the kernel removes it).
+
+VMEM_BUDGET_BWD = 64 * 1024 * 1024
+
+
+def _vmem_estimate_bwd(n: int, itemsize: int, g: int, nslots: int,
+                       d: int) -> int:
+    slab = g * d
+    rings = nslots * (3 + 1 + 3) * n * slab * itemsize  # qkv + do in, dqkv out
+    scores = n * n * (4 * 4 + 2 * itemsize)  # s/P/dp/ds0 fp32 + 2 bf16 casts
+    return rings + scores
+
+
+def packed_qkv_bwd_supported(q_shape, dtype) -> bool:
+    B, N, H, D = q_shape
+    itemsize = jnp.dtype(dtype).itemsize
+    g = _pick_pgroup(H, N, itemsize, D)
+    return (
+        packed_attention_supported(q_shape, dtype)
+        and g > 0
+        and _vmem_estimate_bwd(N, itemsize, g, NSLOTS_PACKED, D)
+        <= VMEM_BUDGET_BWD
+    )
+
+
+def _fusedqkv_bwd_kernel(qkv_hbm, do_hbm, dqkv_hbm,
+                         qkv_vmem, do_vmem, dqkv_vmem,
+                         in_sem, do_sem, out_sem,
+                         *, nv: int, npg: int, g: int, n: int, d: int,
+                         scale: float, nslots: int):
+    gd = g * d
+    c = scale * LOG2E
+
+    def in_dmas(slot, u):
+        vi = u // npg
+        lo = (u % npg) * gd
+        return (
+            pltpu.make_async_copy(qkv_hbm.at[:, vi, :, pl.ds(lo, gd)],
+                                  qkv_vmem.at[slot], in_sem.at[slot]),
+            pltpu.make_async_copy(do_hbm.at[vi, :, pl.ds(lo, gd)],
+                                  do_vmem.at[slot], do_sem.at[slot]),
+        )
+
+    def out_dma(slot, u):
+        vi = u // npg
+        lo = (u % npg) * gd
+        return pltpu.make_async_copy(dqkv_vmem.at[slot],
+                                     dqkv_hbm.at[:, vi, :, pl.ds(lo, gd)],
+                                     out_sem.at[slot])
+
+    ng = nv * npg
+    for u in range(min(nslots - 1, ng)):
+        for dma in in_dmas(u % nslots, u):
+            dma.start()
+
+    def body(u, _):
+        slot = jax.lax.rem(u, nslots)
+        pre = u + nslots - 1
+
+        @pl.when(pre < ng)
+        def _prefetch():
+            for dma in in_dmas(jax.lax.rem(pre, nslots), pre):
+                dma.start()
+
+        for dma in in_dmas(slot, u):
+            dma.wait()
+
+        @pl.when(u >= nslots)
+        def _reclaim():
+            out_dma(slot, u - nslots).wait()
+
+        for gi in range(g):
+            sl = slice(gi * d, (gi + 1) * d)
+            q = qkv_vmem[slot, 0, :, sl]
+            k = qkv_vmem[slot, 1, :, sl]
+            v = qkv_vmem[slot, 2, :, sl]
+            do = do_vmem[slot, :, sl]
+            qs = (q.astype(jnp.float32) * c).astype(q.dtype)
+            s = jax.lax.dot_general(
+                qs, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (n, n), log2 domain
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+            P = p / jnp.sum(p, axis=-1, keepdims=True)  # fp32 softmax
+            Pc = P.astype(do.dtype)
+            dv = jax.lax.dot_general(
+                Pc, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (n, d)
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (n, n)
+            delta = jnp.sum(P * dp, axis=-1, keepdims=True)
+            ds0 = (P * (dp - delta)).astype(k.dtype)
+            dq = jax.lax.dot_general(
+                ds0, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            dk = jax.lax.dot_general(
+                ds0, qs, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * LN2
+            dqkv_vmem[slot, 0, :, sl] = dq.astype(dqkv_vmem.dtype)
+            dqkv_vmem[slot, 1, :, sl] = dk.astype(dqkv_vmem.dtype)
+            dqkv_vmem[slot, 2, :, sl] = dv.astype(dqkv_vmem.dtype)
+        out_dma(slot, u).start()
+        return 0
+
+    jax.lax.fori_loop(0, ng, body, 0)
+
+    for i in range(min(nslots, ng)):
+        u = ng - 1 - i
+        out_dma(u % nslots, u).wait()
+
+
+def packed_qkv_attention_bwd(qkv3: jnp.ndarray, dout: jnp.ndarray,
+                             num_heads: int, scale: float) -> jnp.ndarray:
+    """dL/d(qkv3) for packed_qkv_attention from (3, B, N, C) residuals and
+    the (B, N, C) output cotangent.  Caller must check
+    packed_qkv_bwd_supported first."""
+    _, B, N, C = qkv3.shape
+    D = C // num_heads
+    g = _pick_pgroup(num_heads, N, qkv3.dtype.itemsize, D)
+    npg = num_heads // g
+    nslots = NSLOTS_PACKED
+    return pl.pallas_call(
+        functools.partial(_fusedqkv_bwd_kernel, nv=B, npg=npg, g=g, n=N,
+                          d=D, scale=float(scale), nslots=nslots),
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        out_shape=jax.ShapeDtypeStruct((3, B, N, C), qkv3.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((nslots, 3, N, g * D), qkv3.dtype),
+            pltpu.VMEM((nslots, N, g * D), qkv3.dtype),
+            pltpu.VMEM((nslots, 3, N, g * D), qkv3.dtype),
+            pltpu.SemaphoreType.DMA((nslots,)),
+            pltpu.SemaphoreType.DMA((nslots,)),
+            pltpu.SemaphoreType.DMA((nslots,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(qkv3, dout)
 
 
 def packed_qkv_attention(qkv3: jnp.ndarray, num_heads: int,

@@ -41,7 +41,10 @@ ITERS = 3
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--views", type=int, default=20)
-    ap.add_argument("--probes", default="full,nopt,grad_dh,grad_h,fwd")
+    # `full` runs LAST: its jitted step DONATES the train state, whose
+    # params alias the probe params — and copying them instead OOMs the 16
+    # GB chip at 20 views (caught r4)
+    ap.add_argument("--probes", default="fwd,grad_h,grad_dh,nopt,full")
     args = ap.parse_args()
     probes = args.probes.split(",")
 
@@ -72,6 +75,9 @@ def main():
     rng = jax.random.key(2)
 
     def loss_from(params_diff, params_stop):
+        # stop_gradient INSIDE the trace (free); eagerly it dispatches an
+        # identity op and copies ~1.3 GB of params per probe
+        params_stop = jax.tree.map(jax.lax.stop_gradient, params_stop)
         merged = {**params_stop, **params_diff}
         preds = fast3r_forward(merged, cfg, batch_shape_args[0],
                                batch_shape_args[1], is_training=True,
@@ -87,9 +93,7 @@ def main():
 
     def split(keys):
         diff = {k: params[k] for k in keys}
-        stop = jax.tree.map(jax.lax.stop_gradient,
-                            {k: v for k, v in params.items()
-                             if k not in keys})
+        stop = {k: v for k, v in params.items() if k not in keys}
         return diff, stop
 
     def checksum(tree):

@@ -238,3 +238,38 @@ def test_fusedqkv_gradients_match_naive():
     g2 = jax.grad(loss_naive)(qkv3)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_fusedqkv_bwd_kernel_bf16_vs_fp32_naive():
+    """r4 manual-DMA backward kernel: bf16 grads must sit at bf16-input
+    rounding distance from the fp32 naive grads — the kernel keeps fp32
+    logits in VMEM, so it is TIGHTER than the bf16-logits XLA replay it
+    superseded (whose documented bound was 0.05)."""
+    from fast3r_tpu.ops import batched_attention as ba
+
+    B, N, H, D = 2, 128, 4, 64
+    assert ba.packed_qkv_bwd_supported((B, N, H, D), jnp.bfloat16)
+    ks = jax.random.split(jax.random.key(9), 3)
+    q, k, v = (_mk(x, (B, N, H, D), jnp.float32) for x in ks)
+    scale = D ** -0.5
+    qkv3 = jnp.stack([t.reshape(B, N, H * D) for t in (q, k, v)])
+
+    def loss_kernel(t):
+        return jnp.sum(jnp.sin(
+            ba.packed_qkv_attention(t.astype(jnp.bfloat16), H,
+                                    scale).astype(jnp.float32)))
+
+    def loss_naive(t):
+        qq, kk, vv = (t[i].reshape(B, N, H, D) for i in range(3))
+        o = dot_product_attention(qq, kk, vv, scale, impl="naive")
+        return jnp.sum(jnp.sin(o.reshape(B, N, H * D).astype(jnp.float32)))
+
+    g1 = np.asarray(jax.grad(loss_kernel)(qkv3), np.float32)
+    g2 = np.asarray(jax.grad(loss_naive)(qkv3), np.float32)
+    assert np.abs(g1 - g2).max() < 0.02, np.abs(g1 - g2).max()
+
+
+def test_fusedqkv_bwd_supported_at_flagship_shape():
+    from fast3r_tpu.ops.batched_attention import packed_qkv_bwd_supported
+
+    assert packed_qkv_bwd_supported((20, 768, 16, 64), jnp.bfloat16)
