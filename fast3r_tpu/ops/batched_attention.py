@@ -267,6 +267,14 @@ def _replay_reference(q, k, v, scale):
 
 def _batched_bnhd_bwd(scale, res, g):
     q, k, v = res
+    B, N, H, D = q.shape
+    if packed_qkv_bwd_supported(q.shape, q.dtype):
+        # the r4 manual-DMA backward kernel (defined below) — one stack copy
+        # in, one unstack out, no S x S HBM arrays
+        qkv3 = jnp.stack([t.reshape(B, N, H * D) for t in (q, k, v)])
+        d = packed_qkv_attention_bwd(qkv3, g.reshape(B, N, H * D),
+                                     H, float(scale))
+        return tuple(d[i].reshape(B, N, H, D) for i in range(3))
     _, vjp = jax.vjp(lambda q_, k_, v_: _replay_reference(q_, k_, v_, scale),
                      q, k, v)
     return vjp(g)
@@ -462,10 +470,7 @@ def _packed_bnhd_fwd(q, k, v, scale):
 
 
 def _packed_bnhd_bwd(scale, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: _replay_reference(q_, k_, v_, scale),
-                     q, k, v)
-    return vjp(g)
+    return _batched_bnhd_bwd(scale, res, g)
 
 
 _packed_bnhd.defvjp(_packed_bnhd_fwd, _packed_bnhd_bwd)
