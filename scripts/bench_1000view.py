@@ -42,6 +42,14 @@ def main():
                          "the four device-resident hooks (4 x 1.57 GB) plus "
                          "the per-layer MLP transient (6.3 GB at S=768k) "
                          "exceed the 16 GB HBM")
+    ap.add_argument("--recompute-h0", action="store_true",
+                    help="device-resident hooks WITHOUT keeping hook 0: "
+                         "embed consumes the encoder output, and each head "
+                         "chunk re-encodes its own views (encoder compute "
+                         "~12 s/1000 views vs ~190 s to round-trip 3.1 GB "
+                         "of h0 over the tunnel).  Combine with --fused-mlp "
+                         "so hooks 12/18/24 + the decoder transients fit "
+                         "HBM at 512-res")
     ap.add_argument("--fused-mlp", action="store_true",
                     help="whole-MLP kernel in the decoder blocks "
                          "(nn/fused_block.ln_mlp): caps the fc1 transient "
@@ -152,6 +160,11 @@ def main_staged(args):
         return feats.reshape(1, -1, feats.shape[-1])
 
     @jax.jit
+    def encode_cv(p, x):
+        feats, _ = encoder_forward(p["encoder"], cfg.encoder, x)
+        return feats  # (views, P, C) — per-head-chunk h0 recompute
+
+    @jax.jit
     def embed(p, fused):
         ids = jnp.repeat(jnp.arange(V, dtype=jnp.int32), P)[None]
         x = linear(p["decoder"]["decoder_embed"], fused)
@@ -232,6 +245,22 @@ def main_staged(args):
             del host_chunks
             hooks[0] = fused_host
             x = sync(embed(params, jnp.asarray(fused_host)))
+        elif args.recompute_h0:
+            # r4 tunnel-tax fix: hook 0 (the encoder output) is NEVER kept —
+            # embed consumes it, and each head chunk RE-ENCODES its own
+            # views (encoder compute for all 1000 views is ~12 s vs ~190 s
+            # to round-trip 3.1 GB of h0 over the ~17-33 MB/s tunnel).
+            # Hooks 12/18/24 (4.7 GB bf16) stay device-resident: without h0
+            # or the 6.3 GB fc1 transient (--fused-mlp), the decoder's peak
+            # live set fits the 16 GB chip (the keep-everything variant
+            # OOMed on hardware, r4).
+            chunks = [sync(encode(params, imgs[i:i + ec]))
+                      for i in range(0, V, ec)]
+            phases["encoder"] = time.perf_counter() - t0
+            fused = jnp.concatenate(chunks, axis=1)
+            del chunks
+            x = sync(embed(params, fused))
+            del fused
         else:
             chunks = [sync(encode(params, imgs[i:i + ec]))
                       for i in range(0, V, ec)]
@@ -251,20 +280,23 @@ def main_staged(args):
         hooks[dcfg.depth] = (to_host(final_norm(params, x))
                              if args.host_hooks
                              else sync(final_norm(params, x)))
-        if args.host_hooks:
+        if args.host_hooks or args.recompute_h0:
             del x
         t2 = time.perf_counter()
         phases["decoder"] = t2 - t1 - spill
         phases["hook_spill"] = spill
         conf_sum = 0.0
         for start in range(0, V, cv):
-            toks = tuple(
-                jnp.asarray(
-                    hooks[h][0, start * P:(start + cv) * P]
-                ).reshape(cv, P, -1)
-                for h in dcfg.hooks
-            )
-            out = run_head_chunk(params, toks)
+            toks = []
+            for h in dcfg.hooks:
+                if h == 0 and args.recompute_h0:
+                    toks.append(encode_cv(params, imgs[start:start + cv])
+                                .reshape(cv, P, -1))
+                else:
+                    toks.append(jnp.asarray(
+                        hooks[h][0, start * P:(start + cv) * P]
+                    ).reshape(cv, P, -1))
+            out = run_head_chunk(params, tuple(toks))
             conf_sum += float(np.asarray(out[1].astype(jnp.float32).sum()))
         phases["heads"] = time.perf_counter() - t2
         print("phases", json.dumps({k: round(v, 1) for k, v in
