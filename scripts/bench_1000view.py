@@ -10,6 +10,7 @@ tunneled-TPU platform).
 """
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -171,11 +172,12 @@ def main_staged(args):
         table = jnp.asarray(image_idx_table(dcfg.embed_dim), dtype=x.dtype)
         return x + table[ids]
 
-    def head_grouped_flash(q, k, v, scale, groups=4):
+    def head_grouped_flash(q, k, v, scale, groups=8):
         """Flash attention over head groups via lax.map: at S=768k the full
         (B, H, S, 64) q/k/v/o transposes each pad 2x in the lane dim
         (64 -> 128) = 2.9 GB apiece; grouping bounds the live transposed set
-        to H/groups heads at a time (caught on hardware, r3)."""
+        to H/groups heads at a time (caught on hardware, r3; r4: groups 4
+        -> 8 shaves another ~0.6 GB of peak for the device-hooks road)."""
         from fast3r_tpu.ops.flash_attention import flash_attention
 
         B, S, H, D = q.shape
@@ -196,7 +198,10 @@ def main_staged(args):
 
     def get_segment_fn(length):
         if length not in seg_cache:
-            @jax.jit
+            # donate x: the input buffer is dead the moment the first block
+            # consumes it — reusing it cuts ~1.6 GB off the segment's peak
+            # live set (r4 device-hooks OOM fix)
+            @functools.partial(jax.jit, donate_argnums=(1,))
             def run(blocks, x):
                 # fused=True is LOAD-BEARING at 512-res: the plain path's
                 # packed (S, 3, H, 64) qkv intermediate carries a 2x
