@@ -178,25 +178,29 @@ def dpt_head_forward(
     hp = params["head"]
     x = None
     if jax.default_backend() == "tpu":
-        # fused conv1 -> resize -> conv2 -> relu trunk (ops/trunk_kernel.py):
-        # the intermediates never touch HBM and the convs dodge XLA's
-        # in-context fusion-boundary relayouts
+        # fused conv1 -> resize -> conv2 -> relu -> conv3 head trunk
+        # (ops/trunk_kernel.py): the intermediates (incl. the full-res
+        # 128-channel trunk output) never touch HBM and the convs dodge
+        # XLA's in-context fusion-boundary relayouts
         from fast3r_tpu.ops.trunk_kernel import (
-            fused_regression_trunk, trunk_kernel_supported)
+            fused_regression_head, trunk_kernel_supported)
 
         if (hp["conv1"]["w"].shape[-1] == hp["conv2"]["w"].shape[-1]
                 and trunk_kernel_supported(path1.shape, H, W, path1.dtype,
-                                           c1=hp["conv1"]["w"].shape[-1])):
-            x = fused_regression_trunk(
+                                           c1=hp["conv1"]["w"].shape[-1],
+                                           c3=hp["conv3"]["w"].shape[-1])):
+            x = fused_regression_head(
                 path1, hp["conv1"]["w"].astype(path1.dtype),
                 hp["conv1"]["b"].astype(path1.dtype),
                 hp["conv2"]["w"].astype(path1.dtype),
-                hp["conv2"]["b"].astype(path1.dtype), H, W)
+                hp["conv2"]["b"].astype(path1.dtype),
+                hp["conv3"]["w"].astype(path1.dtype),
+                hp["conv3"]["b"].astype(path1.dtype), H, W)
     if x is None:
         x = conv2d(hp["conv1"], path1, padding=[(1, 1), (1, 1)])
         x = resize_bilinear_align_corners(x, H, W)
         x = conv2d(hp["conv2"], x, padding=[(1, 1), (1, 1)])
         x = jax.nn.relu(x)
-    x = conv2d(hp["conv3"], x, padding="VALID")  # (B, H, W, 4)
+        x = conv2d(hp["conv3"], x, padding="VALID")  # (B, H, W, 4)
 
     return postprocess(x, cfg.depth_mode, cfg.conf_mode)

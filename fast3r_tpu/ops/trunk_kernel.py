@@ -24,8 +24,14 @@ conv2 input never touch HBM:
     precomputed on the host (SMEM), multiplied by out_w in-kernel so Mosaic
     can prove sublane alignment of the dynamic slices;
   * conv2 (+bias, ReLU) runs on the fine grid in row chunks with fp32
-    accumulators; the 1x1 conv3 stays outside (its output is 4 lanes — not
-    DMA-able — and XLA fuses it with postprocess).
+    accumulators;
+  * fused_regression_head additionally folds the 1x1 conv3 into each conv2
+    chunk as a TRANSPOSED dot — (OUT3, c1) @ (chunk, c1)^T puts the 4 (padded
+    to 8) output channels on sublanes and the pixels on lanes, so the result
+    is DMA-able as a (B, OUT3, H*W) map and the full-res 128-channel trunk
+    output never touches HBM (~400 MB less traffic per 4-view invocation);
+    the conv3 bias + layout restore happen outside where XLA fuses them with
+    postprocess.
 
 Forward-only: the custom VJP recomputes through the plain
 conv2d -> interp-matmul -> conv2d composition (remat semantics, gradient
@@ -45,14 +51,17 @@ from jax.experimental.pallas import tpu as pltpu
 from fast3r_tpu.ops.flash_attention import _interpret
 from fast3r_tpu.ops.resize import _interp_matrix, _interp_taps
 
-NSLOTS = 2
+NSLOTS = 4
 LANE = 128
+OUT3 = 8  # conv3 output channels padded to one sublane tile (num_channels=4)
 # Scoped-VMEM ceiling for the fused program (v5e physical VMEM = 128 MiB).
 # 100 MiB rejected the 12-view training shape (256x320 fine grid, rb=64
 # plan): Mosaic's stack wants 104.07 MiB there — caught on hardware as a
 # compile-time OOM in the train step's jvp (r3).  The headline 512-res shape
-# (rb=48) compiles well under either limit.
-VMEM_LIMIT = 116 * 1024 * 1024
+# (rb=48) compiles well under either limit; r4 probed NSLOTS=4 at this limit
+# on hardware (scripts/bench_trunk_ns.py: ns=2 2.976 / ns=3 3.030 / ns=4
+# 2.830 ms, outputs identical).
+VMEM_LIMIT = 124 * 1024 * 1024
 # Gap between _vmem_estimate's live-set model and what Mosaic's scoped-stack
 # allocator actually asks for, anchored to the one hardware measurement we
 # have: the 12-view training shape (hh=128, wc=160 -> 256x320 fine, rb=64)
@@ -110,28 +119,37 @@ def _pick_rb(out_h: int, hh: int) -> int:
     return 0
 
 
-def _vmem_estimate(rin_c, wc, cin, c1, rb, out_w, itemsize):
+def _vmem_estimate(rin_c, wc, cin, c1, rb, out_w, itemsize, c3=0,
+                   nslots=None):
+    if nslots is None:
+        nslots = NSLOTS
     lb = rin_c * wc + 2 * (wc + 8)
     lz = (rb + 2) * out_w + 16
-    ring = NSLOTS * lb * cin * itemsize
+    ring = nslots * lb * cin * itemsize
     copies1 = 2 * lb * cin * itemsize
     y1 = rin_c * wc * c1 * itemsize
     wide = rin_c * out_w * c1 * itemsize
     z = lz * c1 * itemsize
     copies2 = 2 * lz * c1 * itemsize
     acc = CHUNK_FINE_ROWS * out_w * c1 * 4 + rin_c * wc * c1 * 4
-    out = 2 * rb * out_w * c1 * itemsize
+    out = nslots * rb * out_w * (OUT3 if c3 else c1) * itemsize
     w_res = (9 * cin * c1 + 9 * c1 * c1 + out_w * wc) * itemsize
     return ring + copies1 + y1 + wide + z + copies2 + acc + out + w_res
 
 
 def trunk_kernel_supported(x_shape, out_h: int, out_w: int, dtype,
-                           c1: int = 128) -> bool:
-    """(B, Hh, Wc, C) -> fused trunk coverage check."""
+                           c1: int = 128, c3: int = 0) -> bool:
+    """(B, Hh, Wc, C) -> fused trunk coverage check.
+
+    c3 > 0 gates the conv3-folded variant (fused_regression_head): the final
+    1x1 conv rides the conv2 chunks and the kernel emits a transposed
+    (OUT3, H*W) map instead of the (H*W, c1) trunk output — the full-res
+    128-channel tensor never touches HBM.
+    """
     if len(x_shape) != 4 or jnp.dtype(dtype).itemsize != 2:
         return False
     B, hh, wc, cin = x_shape
-    if cin % LANE or c1 % LANE or wc % 8 or out_w % 8:
+    if cin % LANE or c1 % LANE or wc % 8 or out_w % 8 or c3 > OUT3:
         return False
     if hh * wc * cin < 96 * 128 * 256:  # only worth it at trunk scale
         return False
@@ -140,19 +158,20 @@ def trunk_kernel_supported(x_shape, out_h: int, out_w: int, dtype,
         return False
     *_, rin_c = _trunk_plan(hh, out_h, rb)
     est = _vmem_estimate(rin_c, wc, cin, c1, rb, out_w,
-                         jnp.dtype(dtype).itemsize)
+                         jnp.dtype(dtype).itemsize, c3=c3)
     return est + MOSAIC_STACK_MARGIN <= VMEM_LIMIT
 
 
 def _trunk_kern(cs_smem, lo_smem, frac_smem,
                 x_hbm, w1_vmem, b1_vmem, w2_vmem, b2_vmem, mw_vmem,
+                w3_vmem,
                 o_hbm,
                 in_vmem, p1_vmem, m1_vmem, y1_vmem, wide_vmem, z_vmem,
                 p2_vmem, m2_vmem, o_vmem,
                 in_sem, out_sem,
                 *, nb: int, nrb: int, rb: int, rin_c: int,
                 wc: int, out_w: int, cin: int, c1: int, dtype,
-                ablate: str = ""):
+                fused3: bool, ablate: str = ""):
     """One program; fori_loop over B*nrb output row-blocks.
 
     `ablate` (diagnostics only, scripts/bench_head.py trunk_* probes —
@@ -198,11 +217,15 @@ def _trunk_kern(cs_smem, lo_smem, frac_smem,
             in_vmem.at[slot, pl.ds(base1, l1)], in_sem.at[slot])
 
     def out_dma(slot, u):
-        return pltpu.make_async_copy(
-            o_vmem.at[slot],
-            o_hbm.at[u // nrb, pl.ds(jax.lax.rem(u, nrb) * (rb * out_w),
-                                     rb * out_w)],
-            out_sem.at[slot])
+        if fused3:
+            dst = o_hbm.at[u // nrb, :,
+                           pl.ds(jax.lax.rem(u, nrb) * (rb * out_w),
+                                 rb * out_w)]
+        else:
+            dst = o_hbm.at[u // nrb,
+                           pl.ds(jax.lax.rem(u, nrb) * (rb * out_w),
+                                 rb * out_w)]
+        return pltpu.make_async_copy(o_vmem.at[slot], dst, out_sem.at[slot])
 
     for u in range(NSLOTS - 1):
         in_dma(u % NSLOTS, u).start()
@@ -281,7 +304,10 @@ def _trunk_kern(cs_smem, lo_smem, frac_smem,
         def _reclaim():
             out_dma(slot, u - NSLOTS).wait()
 
-        # conv2 + bias + ReLU on the fine grid, chunked fp32 accumulation
+        # conv2 + bias + ReLU on the fine grid, chunked fp32 accumulation;
+        # when fused3, the 1x1 conv3 rides each chunk as a transposed MXU
+        # dot (M = OUT3 sublanes, N = chunk pixels on lanes) so the
+        # 128-channel trunk output never leaves VMEM
         if do_conv2:
             p2_vmem[:] = z_vmem[pl.ds(1, lz - 8)] * mp2
             m2_vmem[:] = z_vmem[pl.ds(7, lz - 8)] * mm2
@@ -300,8 +326,17 @@ def _trunk_kern(cs_smem, lo_smem, frac_smem,
                             src, w2_vmem[dy + 1, kx],
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-                o_vmem[slot, pl.ds(c0, cr)] = jnp.maximum(
-                    acc2, 0.0).astype(dtype)
+                zc = jnp.maximum(acc2, 0.0).astype(dtype)
+                if fused3:
+                    # (OUT3, c1) @ (cr, c1)^T — contraction on both minor
+                    # dims; the MXU's operand-transpose path handles the
+                    # N-major rhs
+                    ot = jax.lax.dot_general(
+                        w3_vmem[:], zc, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    o_vmem[slot, :, pl.ds(c0, cr)] = ot.astype(dtype)
+                else:
+                    o_vmem[slot, pl.ds(c0, cr)] = zc
 
         out_dma(slot, u).start()
         return 0
@@ -313,22 +348,36 @@ def _trunk_kern(cs_smem, lo_smem, frac_smem,
         out_dma(u % NSLOTS, u).wait()
 
 
-def _trunk_call(x, w1, b1, w2, b2, out_h: int, out_w: int, ablate: str = ""):
+def _trunk_call(x, w1, b1, w2, b2, out_h: int, out_w: int, w3=None,
+                ablate: str = ""):
     B, hh, wc, cin = x.shape
     c1 = w1.shape[-1]
     rb = _pick_rb(out_h, hh)
     cs, lo_local, fracs, rin_c = _trunk_plan(hh, out_h, rb)
     nrb = out_h // rb
     dtype = x.dtype
+    fused3 = w3 is not None
 
     mw = jnp.asarray(_interp_matrix(out_w, wc), dtype)
     lb = rin_c * wc + 2 * (wc + 8)
     lz = (rb + 2) * out_w + 16
 
+    if fused3:
+        # transposed + OUT3-padded 1x1 kernel: (c1, c3) -> (OUT3, c1)
+        w3t = jnp.zeros((OUT3, c1), dtype).at[: w3.shape[-1]].set(
+            w3.reshape(c1, -1).T.astype(dtype))
+        out_shape = jax.ShapeDtypeStruct((B, OUT3, out_h * out_w), dtype)
+        o_scratch = pltpu.VMEM((NSLOTS, OUT3, rb * out_w), dtype)
+    else:
+        w3t = jnp.zeros((OUT3, c1), dtype)
+        out_shape = jax.ShapeDtypeStruct((B, out_h * out_w, c1), dtype)
+        o_scratch = pltpu.VMEM((NSLOTS, rb * out_w, c1), dtype)
+
     out = pl.pallas_call(
         functools.partial(
             _trunk_kern, nb=B, nrb=nrb, rb=rb, rin_c=rin_c, wc=wc,
-            out_w=out_w, cin=cin, c1=c1, dtype=dtype, ablate=ablate),
+            out_w=out_w, cin=cin, c1=c1, dtype=dtype, fused3=fused3,
+            ablate=ablate),
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
@@ -340,9 +389,10 @@ def _trunk_call(x, w1, b1, w2, b2, out_h: int, out_w: int, ablate: str = ""):
             pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-        out_shape=jax.ShapeDtypeStruct((B, out_h * out_w, c1), dtype),
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((NSLOTS, lb, cin), dtype),
             pltpu.VMEM((lb - 8, cin), dtype),
@@ -352,7 +402,7 @@ def _trunk_call(x, w1, b1, w2, b2, out_h: int, out_w: int, ablate: str = ""):
             pltpu.VMEM((lz, c1), dtype),
             pltpu.VMEM((lz - 8, c1), dtype),
             pltpu.VMEM((lz - 8, c1), dtype),
-            pltpu.VMEM((NSLOTS, rb * out_w, c1), dtype),
+            o_scratch,
             pltpu.SemaphoreType.DMA((NSLOTS,)),
             pltpu.SemaphoreType.DMA((NSLOTS,)),
         ],
@@ -365,7 +415,9 @@ def _trunk_call(x, w1, b1, w2, b2, out_h: int, out_w: int, ablate: str = ""):
       jnp.asarray(fracs.reshape(-1)),
       x.reshape(B, hh * wc, cin),
       w1.astype(dtype), b1.astype(dtype), w2.astype(dtype), b2.astype(dtype),
-      mw)
+      mw, w3t)
+    if fused3:
+        return out  # (B, OUT3, out_h*out_w); caller transposes/slices
     return out.reshape(B, out_h, out_w, c1)
 
 
@@ -401,3 +453,41 @@ def _trunk_bwd(out_h, out_w, res, g):
 
 
 fused_regression_trunk.defvjp(_trunk_fwd, _trunk_bwd)
+
+
+def _plain_head(x, w1, b1, w2, b2, w3, b3, out_h: int, out_w: int):
+    from fast3r_tpu.nn.layers import conv2d
+
+    y = _plain_trunk(x, w1, b1, w2, b2, out_h, out_w)
+    return conv2d({"w": w3, "b": b3}, y, padding="VALID")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_regression_head(x, w1, b1, w2, b2, w3, b3, out_h, out_w):
+    """conv3(relu(conv2(resize(conv1(x))))) — the trunk kernel with the 1x1
+    conv3 folded in (module docstring / trunk_kernel_supported c3 notes).
+
+    The kernel emits a transposed (B, OUT3, H*W) map so the full-res
+    128-channel trunk output never round-trips HBM (~400 MB of traffic per
+    4-view invocation at the 512x384 flagship shape); this wrapper restores
+    (B, H, W, c3) layout and adds the conv3 bias (XLA fuses both with
+    postprocess).  Caller must gate on trunk_kernel_supported(..., c3=).
+    Numerics match the plain composition at input-dtype rounding.
+    """
+    c3 = w3.shape[-1]
+    o = _trunk_call(x, w1, b1, w2, b2, out_h, out_w, w3=w3)
+    o = jnp.swapaxes(o, 1, 2)[..., :c3] + b3.astype(x.dtype)
+    return o.reshape(x.shape[0], out_h, out_w, c3)
+
+
+def _head_fwd(x, w1, b1, w2, b2, w3, b3, out_h, out_w):
+    return fused_regression_head(x, w1, b1, w2, b2, w3, b3, out_h, out_w), (
+        x, w1, b1, w2, b2, w3, b3)
+
+
+def _head_bwd(out_h, out_w, res, g):
+    _, vjp = jax.vjp(lambda *a: _plain_head(*a, out_h, out_w), *res)
+    return vjp(g)
+
+
+fused_regression_head.defvjp(_head_fwd, _head_bwd)

@@ -64,26 +64,67 @@ def test_trunk_edge_zero_padding(trunk_setup):
 
 
 def test_support_gate():
+    # production shapes gate on the conv3-folded variant (c3=4)
     assert tk.trunk_kernel_supported((4, 192, 256, 256), 384, 512,
-                                     jnp.bfloat16, 128)
+                                     jnp.bfloat16, 128, c3=4)
     assert tk.trunk_kernel_supported((4, 96, 128, 256), 192, 256,
-                                     jnp.bfloat16, 128)
+                                     jnp.bfloat16, 128, c3=4)
     # the 12-view training shape (hh=128 wc=160 -> 256x320 fine, rb=64) that
     # passed the old 80 MiB analytic gate but hit a hardware compile OOM at
-    # the 100 MiB cap (Mosaic wanted 104.07 MiB): must still be accepted now
-    # that the cap is 116 MiB AND its estimate+measured-margin (104.6 MiB)
-    # must track the real Mosaic demand within a couple of MiB
+    # the 100 MiB cap (Mosaic wanted 104.07 MiB at ns=2)
     assert tk.trunk_kernel_supported((12, 128, 160, 256), 256, 320,
-                                     jnp.bfloat16, 128)
+                                     jnp.bfloat16, 128, c3=4)
+    # margin anchoring: estimate + measured-margin must track the one real
+    # Mosaic demand measurement we have (ns=2, no fold, 12-view shape)
     rb = tk._pick_rb(256, 128)
     *_, rin_c = tk._trunk_plan(128, 256, rb)
-    est = tk._vmem_estimate(rin_c, 160, 256, 128, rb, 320, 2)
+    est = tk._vmem_estimate(rin_c, 160, 256, 128, rb, 320, 2, nslots=2)
     measured = 104.07 * 2**20  # Mosaic's actual demand on hardware (r3)
     assert abs((est + tk.MOSAIC_STACK_MARGIN) - measured) < 2 * 2**20
     assert measured <= tk.VMEM_LIMIT
     # fp32 doubles every tile: the XLA path serves parity runs
     assert not tk.trunk_kernel_supported((4, 192, 256, 256), 384, 512,
-                                         jnp.float32, 128)
+                                         jnp.float32, 128, c3=4)
     # below trunk scale the per-call fixed cost does not amortize
     assert not tk.trunk_kernel_supported((4, 24, 32, 256), 48, 64,
-                                         jnp.bfloat16, 128)
+                                         jnp.bfloat16, 128, c3=4)
+    # more than OUT3 output channels cannot ride the sublane-packed output
+    assert not tk.trunk_kernel_supported((4, 192, 256, 256), 384, 512,
+                                         jnp.bfloat16, 128, c3=16)
+
+
+@pytest.fixture(scope="module")
+def head_setup(trunk_setup):
+    x, w1, b1, w2, b2 = trunk_setup
+    rng = np.random.default_rng(7)
+    c1 = w2.shape[-1]
+    w3 = jnp.asarray(rng.standard_normal((1, 1, c1, 4)) * 0.05, jnp.float32)
+    b3 = jnp.asarray(rng.standard_normal((4,)) * 0.1, jnp.float32)
+    return x, w1, b1, w2, b2, w3, b3
+
+
+def test_head_forward_matches_plain(head_setup):
+    out_h, out_w = 64, 32
+    ref = tk._plain_head(*head_setup, out_h, out_w)
+    out = tk.fused_regression_head(*head_setup, out_h, out_w)
+    assert out.shape == ref.shape == (2, out_h, out_w, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_head_gradients_match_plain(head_setup):
+    out_h, out_w = 64, 32
+
+    def loss_k(*a):
+        return jnp.sum(jnp.sin(
+            tk.fused_regression_head(*a, out_h, out_w)))
+
+    def loss_p(*a):
+        return jnp.sum(jnp.sin(tk._plain_head(*a, out_h, out_w)))
+
+    args = head_setup
+    g1 = jax.grad(loss_k, argnums=tuple(range(7)))(*args)
+    g2 = jax.grad(loss_p, argnums=tuple(range(7)))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-3)
