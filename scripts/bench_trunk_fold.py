@@ -85,9 +85,6 @@ def main():
             t_u = timed(head_unfused, x)
             print(f"{name}: trunk + XLA conv3      {t_u*1000:.3f} ms",
                   flush=True)
-            t_p = timed(head_plain, x)
-            print(f"{name}: plain XLA composition  {t_p*1000:.3f} ms",
-                  flush=True)
 
 
 if __name__ == "__main__":
