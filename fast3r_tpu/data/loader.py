@@ -13,6 +13,7 @@ change the data (reference §5.6 / base_stereo_view_dataset.py:86-91).
 
 from __future__ import annotations
 
+import functools
 import itertools
 from concurrent.futures import ProcessPoolExecutor
 from typing import Any, Dict, Iterable, List, Optional, Sequence
@@ -83,10 +84,52 @@ def _load_batch(epoch: Optional[int], idxs: List):
 
 _SHM_MIN_BYTES = 1 << 16  # small arrays ride the pickle path
 
+# block names carry the OWNING PARENT's pid + a per-loader tag so that
+# (a) a fresh loader can sweep blocks leaked by a crashed/killed parent
+# (liveness-checked by pid) and (b) close() can reclaim exactly its own
+# loader's in-flight blocks — a hard parent kill between worker return and
+# _shm_unpack would otherwise leak /dev/shm blocks permanently (r4 advisor)
+_SHM_DIR = "/dev/shm"
+_SHM_BLOCK_COUNTER = itertools.count()
 
-def _shm_pack(views_batch):
+
+def _sweep_stale_shm(prefix: str = "f3r") -> int:
+    """Unlink /dev/shm blocks whose embedded owner pid is no longer alive.
+
+    Names look like f3r{parent_pid}_{loader_tag}_{worker_pid}_{n}.  Blocks
+    of LIVE parents are never touched.  Returns the number removed."""
+    import os
+
+    removed = 0
+    if not os.path.isdir(_SHM_DIR):
+        return 0
+    for name in os.listdir(_SHM_DIR):
+        if not name.startswith(prefix):
+            continue
+        try:
+            pid = int(name[len(prefix):].split("_", 1)[0])
+        except (ValueError, IndexError):
+            continue
+        try:
+            os.kill(pid, 0)
+            continue  # owner alive — not ours to reclaim
+        except ProcessLookupError:
+            pass
+        except PermissionError:
+            continue  # alive, different user
+        try:
+            os.unlink(os.path.join(_SHM_DIR, name))
+            removed += 1
+        except OSError:
+            pass
+    return removed
+
+
+def _shm_pack(views_batch, name_prefix=None):
     """Replace large ndarrays in [scene][view] dicts with placeholders and
     pack their bytes into one SharedMemory block."""
+    import os
+
     from multiprocessing import shared_memory
 
     arrays = []
@@ -110,7 +153,11 @@ def _shm_pack(views_batch):
         skeleton.append(out_views)
     if not arrays:
         return None, skeleton
-    shm = shared_memory.SharedMemory(create=True, size=total)
+    if name_prefix:
+        block = f"{name_prefix}{os.getpid()}_{next(_SHM_BLOCK_COUNTER)}"
+        shm = shared_memory.SharedMemory(name=block, create=True, size=total)
+    else:
+        shm = shared_memory.SharedMemory(create=True, size=total)
     for offset, arr in arrays:
         shm.buf[offset:offset + arr.nbytes] = arr.tobytes()
     name = shm.name
@@ -160,8 +207,8 @@ def _shm_unpack(packed):
         shm.unlink()
 
 
-def _load_batch_shm(epoch: Optional[int], idxs: List):
-    return _shm_pack(_load_batch(epoch, idxs))
+def _load_batch_shm(epoch: Optional[int], idxs: List, name_prefix=None):
+    return _shm_pack(_load_batch(epoch, idxs), name_prefix=name_prefix)
 
 
 class DataLoader:
@@ -188,6 +235,12 @@ class DataLoader:
         self.shm = shm
         self._pool: Optional[ProcessPoolExecutor] = None
         self._epoch: Optional[int] = None
+        # per-loader SHM tag: f3r{parent_pid}_{loader_tag}_ — lets close()
+        # reclaim exactly this loader's blocks and a later parent sweep
+        # dead-pid leftovers (see _sweep_stale_shm)
+        import os
+
+        self._shm_prefix = f"f3r{os.getpid()}_{id(self):x}_"
 
     def set_epoch(self, epoch: int):
         """Seed the sampler + dataset (and, lazily, each worker's dataset
@@ -224,6 +277,11 @@ class DataLoader:
         if self._pool is None:
             import multiprocessing as mp
 
+            # reclaim blocks leaked by previously-killed parents before
+            # creating new ones (r4 advisor: SIGKILL/OOM between worker
+            # return and unpack leaked prefetch x batch-size of /dev/shm)
+            if self.shm:
+                _sweep_stale_shm()
             # spawn: fork is unsafe with JAX's threads in the parent (the
             # reference hits the same issue and forces spawn under DeepSpeed,
             # multiview_dust3r_datamodule.py:116)
@@ -233,8 +291,12 @@ class DataLoader:
                 initializer=_init_worker,
                 initargs=(self.dataset,),
             )
-        load = _load_batch_shm if self.shm else _load_batch
-        unpack = _shm_unpack if self.shm else (lambda r: r)
+        if self.shm:
+            load = functools.partial(_load_batch_shm,
+                                     name_prefix=self._shm_prefix)
+            unpack = _shm_unpack
+        else:
+            load, unpack = _load_batch, (lambda r: r)
         batches = self._index_batches()
         inflight = []
         try:
@@ -261,6 +323,19 @@ class DataLoader:
         if self._pool is not None:
             self._pool.shutdown()
             self._pool = None
+        if self.shm:
+            # reclaim any of THIS loader's blocks still on disk (e.g. an
+            # iterator suspended mid-epoch when close() was called — its
+            # finally never drained the in-flight futures)
+            import os
+
+            if os.path.isdir(_SHM_DIR):
+                for name in os.listdir(_SHM_DIR):
+                    if name.startswith(self._shm_prefix):
+                        try:
+                            os.unlink(os.path.join(_SHM_DIR, name))
+                        except OSError:
+                            pass
 
 
 def get_data_loader(

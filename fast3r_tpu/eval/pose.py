@@ -30,8 +30,57 @@ from fast3r_tpu.ops.pnp import (
 )
 
 
+def _maybe_untranspose(arr: np.ndarray, hw) -> np.ndarray:
+    """Swap a landscape-stored map back to its true portrait orientation.
+
+    The model stores portrait head outputs transposed to landscape
+    (models/fast3r.py:_run_head_oriented, mirroring transpose_to_landscape);
+    pose estimation needs the pixel-grid <-> 3D correspondence in the TRUE
+    orientation (reference correct_preds_orientation,
+    multiview_dust3r_module.py:871-938).  Idempotent: only swaps when the
+    stored shape is exactly the landscape-transposed one, so maps already
+    corrected (or landscape views) pass through unchanged.
+    """
+    if hw is None:
+        return arr
+    h, w = int(hw[0]), int(hw[1])
+    if h != w and arr.shape[0] == w and arr.shape[1] == h:
+        return np.swapaxes(arr, 0, 1)
+    return arr
+
+
+def correct_preds_orientation(preds: Sequence[Dict],
+                              views: Optional[Sequence[Dict]]) -> None:
+    """*In-place* portrait un-transpose of predicted maps.
+
+    Behavioral reference: MultiViewDUSt3RLitModule.correct_preds_orientation
+    (multiview_dust3r_module.py:871-938) — the data loader transposes
+    portrait inputs to landscape, so portrait samples' predicted pointmaps /
+    confidence maps must be swapped back before pose estimation.  Each
+    affected entry becomes a per-sample list (one batch may mix
+    orientations, so per-sample shapes can differ), matching the reference's
+    list-of-tensors output.  Safe to call twice (see _maybe_untranspose).
+    """
+    if views is None:
+        return
+    for pred, view in zip(preds, views):
+        ts = np.asarray(view["true_shape"])
+        keys = ["conf", "pts3d_in_other_view"]
+        if "pts3d_local" in pred:
+            keys += ["conf_local", "pts3d_local"]
+            if "pts3d_local_aligned_to_global" in pred:
+                keys.append("pts3d_local_aligned_to_global")
+        for key in keys:
+            arr = pred[key]
+            pred[key] = [
+                _maybe_untranspose(np.asarray(arr[i]), ts[i])
+                for i in range(ts.shape[0])
+            ]
+
+
 def estimate_camera_poses(
     preds: Sequence[Dict],
+    views: Optional[Sequence[Dict]] = None,
     niter_PnP: int = 10,
     focal_length_estimation_method: str = "first_view_from_global_head",
     backend: str = "jax",
@@ -41,28 +90,54 @@ def estimate_camera_poses(
 
     Args:
       preds: list over views of dicts with "pts3d_in_other_view" (B, H, W, 3)
-        and "conf" (B, H, W) (numpy or jax arrays).
+        and "conf" (B, H, W) (numpy or jax arrays, or per-sample lists after
+        correct_preds_orientation).
+      views: list over views of dicts with "true_shape" (B, 2) — when given,
+        portrait samples' maps are un-transposed to their true orientation
+        before PnP (the reference applies correct_preds_orientation before
+        calling this, module.py:748; passing views here folds that in) and
+        the local-head focal path can auto-align.
 
     Returns:
       (poses_c2w [B][V] 4x4 arrays, focals [B][V]).
     """
     V = len(preds)
-    B = np.asarray(preds[0]["pts3d_in_other_view"]).shape[0]
+    # entries are (B, H, W, ...) arrays, or per-sample lists after
+    # correct_preds_orientation — len() gives B for both
+    B = len(preds[0]["pts3d_in_other_view"])
+
+    use_local = focal_length_estimation_method == "first_view_from_local_head"
+    if use_local and "pts3d_local_aligned_to_global" not in preds[0]:
+        # the reference aligns local->global before pose eval
+        # (module.py:743-745); do it here when the caller hasn't
+        from fast3r_tpu.eval.recon import align_local_pts3d_to_global
+        align_local_pts3d_to_global(preds, views)
+
+    def sample_map(v: int, key: str, b: int) -> np.ndarray:
+        arr = np.asarray(preds[v][key][b], np.float32)
+        hw = np.asarray(views[v]["true_shape"])[b] if views is not None else None
+        return _maybe_untranspose(arr, hw)
 
     poses_all, focals_all = [], []
     for b in range(B):
         sample = [
             {
-                "pts3d": np.asarray(v["pts3d_in_other_view"][b], np.float32),
-                "conf": np.asarray(v["conf"][b], np.float32),
+                "pts3d": sample_map(v, "pts3d_in_other_view", b),
+                "conf": sample_map(v, "conf", b),
             }
-            for v in preds
+            for v in range(V)
         ]
-        # focal from the first view's global head (module.py:823-849)
+        # focal from the first view (module.py:823-849): global-head maps, or
+        # the aligned local-head maps for 'first_view_from_local_head'
+        # (module.py:828-831: pts3d_local_aligned_to_global + conf_local)
         focal = None
-        if focal_length_estimation_method in (
-            "first_view_from_global_head", "first_view_from_local_head",
-        ):
+        if use_local:
+            focal = float(estimate_focal_weiszfeld(
+                jnp.asarray(sample_map(0, "pts3d_local_aligned_to_global", b)),
+                jnp.asarray(sample_map(0, "conf_local", b)),
+                min_conf_percentile=10.0,
+            ))
+        elif focal_length_estimation_method == "first_view_from_global_head":
             focal = float(estimate_focal_weiszfeld(
                 jnp.asarray(sample[0]["pts3d"]),
                 jnp.asarray(sample[0]["conf"]),

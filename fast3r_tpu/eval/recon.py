@@ -56,26 +56,29 @@ def align_local_pts3d_to_global(
                 raise ValueError(f"Key {key!r} not found in preds.")
 
     num_views = len(preds)
-    B = np.asarray(preds[0]["pts3d_local"]).shape[0]
+    # entries are (B, H, W, ...) arrays, or per-sample lists (possibly of
+    # mixed portrait/landscape shapes) after eval.pose.correct_preds_orientation
+    B = len(preds[0]["pts3d_local"])
 
-    # stack across views and batch: (V*B, H*W, ...)
-    pl, pg, wts = [], [], []
+    # stack across views and batch: (V*B, H*W, ...) — the alignment is
+    # pointwise over the flattened pixel set, so mixed orientations (same
+    # pixel count, transposed layout) share one vmapped solve
+    pl, pg, wts, shapes = [], [], [], []
     for v in range(num_views):
-        local = np.asarray(preds[v]["pts3d_local"], np.float32)
-        glob = np.asarray(preds[v]["pts3d_in_other_view"], np.float32)
-        confg = np.asarray(preds[v]["conf"], np.float32)
-        H, W = confg.shape[1:3]
         for b in range(B):
-            cg = confg[b].reshape(-1)
+            local = np.asarray(preds[v]["pts3d_local"][b], np.float32)
+            glob = np.asarray(preds[v]["pts3d_in_other_view"][b], np.float32)
+            cg = np.asarray(preds[v]["conf"][b], np.float32).reshape(-1)
             thr = np.quantile(cg, min_conf_thr_percentile / 100.0)
             mask = cg >= thr
             if views is not None and "valid_mask" in views[v]:
                 mask &= np.asarray(views[v]["valid_mask"][b]).reshape(-1)
             if mask.sum() < 3 and views is not None and "valid_mask" in views[v]:
                 mask = np.asarray(views[v]["valid_mask"][b]).reshape(-1)
-            pl.append(local[b].reshape(-1, 3))
-            pg.append(glob[b].reshape(-1, 3))
+            pl.append(local.reshape(-1, 3))
+            pg.append(glob.reshape(-1, 3))
             wts.append(mask.astype(np.float32))
+            shapes.append(local.shape[:2])
 
     aligned = jax.vmap(_align_one)(
         jnp.asarray(np.stack(pl)), jnp.asarray(np.stack(pg)),
@@ -85,12 +88,15 @@ def align_local_pts3d_to_global(
 
     i = 0
     for v in range(num_views):
-        H, W = np.asarray(preds[v]["conf"]).shape[1:3]
-        out = np.empty((B, H, W, 3), np.float32)
+        out = []
         for b in range(B):
-            out[b] = aligned[i].reshape(H, W, 3)
+            H, W = shapes[i]
+            out.append(aligned[i].reshape(H, W, 3))
             i += 1
-        preds[v]["pts3d_local_aligned_to_global"] = out
+        same = all(o.shape == out[0].shape for o in out)
+        preds[v]["pts3d_local_aligned_to_global"] = (
+            np.stack(out) if same else out
+        )
 
 
 # ---------------------------------------------------------------------------

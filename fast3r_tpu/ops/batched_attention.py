@@ -567,8 +567,8 @@ def _vmem_estimate_fusedqkv(n: int, itemsize: int, g: int, gv: int,
 def _pick_gv(nv: int, n: int, itemsize: int, g: int, d: int,
              nslots: int) -> int:
     """Views per DMA unit.  Largest divisor of nv whose slot ring fits the
-    fused-qkv budget; capped so a 2-deep ring still has >= 2 units to
-    overlap.
+    fused-qkv budget; capped so an nslots-deep ring still has >= nslots
+    units to overlap.
 
     r4 attribution at (20, 768, 16, 64), gv=5 ns=4 (bench_fusedqkv_ablate):
     full 0.974 / nosoftmax 0.852 / dmaonly 0.517 ms — the kernel is
@@ -584,6 +584,13 @@ def _pick_gv(nv: int, n: int, itemsize: int, g: int, d: int,
         if _vmem_estimate_fusedqkv(n, itemsize, g, gv, nslots, d) \
                 <= VMEM_BUDGET_FUSEDQKV:
             return gv
+    # gv=1 fallback (nv < nslots or nothing divided): it must still satisfy
+    # the same budget the loop enforces — today it coincides with the
+    # _pick_pgroup 10 MiB gate, but that coupling is implicit (r4 advisor)
+    est = _vmem_estimate_fusedqkv(n, itemsize, g, 1, nslots, d)
+    assert est <= VMEM_BUDGET_FUSEDQKV, (
+        f"fused-qkv gv=1 ring exceeds VMEM budget: {est} > "
+        f"{VMEM_BUDGET_FUSEDQKV} (n={n}, g={g}, nslots={nslots}, d={d})")
     return 1
 
 
@@ -742,6 +749,11 @@ def _fusedqkv_bwd_kernel(qkv_hbm, do_hbm, dqkv_hbm,
                 preferred_element_type=jnp.float32)  # (n, n), log2 domain
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp2(s - m)
+            # NOTE: this remat softmax uses a single global row max, while
+            # the forward (_packed_compute_slot) scales with SPLIT partial
+            # maxes — recomputed P differs from the forward's at rounding
+            # level; the 0.02 grad bound in tests is an empirical, not
+            # structural, guarantee of that association difference
             P = p / jnp.sum(p, axis=-1, keepdims=True)  # fp32 softmax
             Pc = P.astype(do.dtype)
             dv = jax.lax.dot_general(

@@ -66,7 +66,16 @@ def _scale_by_param_group(lr_scales) -> optax.GradientTransformation:
     scales = dict(lr_scales)
 
     def init(params):
-        del params
+        # a typo'd group name (e.g. 'encodr') would otherwise silently train
+        # at full LR — the reference attaches lr_scale to concrete torch
+        # param groups, where a bad key is structurally impossible
+        # (optim_factory.py:15-20); enforce the same guarantee here
+        if params is not None:
+            unknown = sorted(set(scales) - set(params.keys()))
+            if unknown:
+                raise ValueError(
+                    f"lr_scales keys {unknown} match no top-level param "
+                    f"group; available groups: {sorted(params.keys())}")
         return optax.EmptyState()
 
     def update(updates, state, params=None):

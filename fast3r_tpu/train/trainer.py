@@ -232,8 +232,15 @@ class Trainer:
                 mixed = bool((ts[..., 1] < ts[..., 0]).any())
                 self.state, m = self._step_fns[mixed](self.state, jb)
                 B, V = batch["imgs"].shape[:2]
-                self.total_samples += B
-                self.total_images += B * V
+                # GLOBAL counts: every host steps in lockstep on its own
+                # rank-sliced batch of the same size, so the global increment
+                # is local x process_count — the reference's AccumulatedSum
+                # metric sums the per-rank counts the same way
+                # (module.py:33-50 + sync_dist logging); counters persist in
+                # the checkpoint, so resume continues the global tally
+                n_hosts = jax.process_count()
+                self.total_samples += B * n_hosts
+                self.total_images += B * V * n_hosts
                 if i % self.cfg.log_every_n_steps == 0:
                     self.metrics.log(
                         step=int(self.state.step), epoch=epoch,
@@ -298,7 +305,14 @@ class Trainer:
             if want is not None:
                 return want
             ds = batch.get("dataset")
-            return epoch_ok and bool(ds) and ds[0][0] in auto_names
+            if not (epoch_ok and bool(ds)):
+                return False
+            # case-insensitive substring match so renamed/derived dataset
+            # names (e.g. "Co3d_v2_tiny") still dispatch their suite, rather
+            # than the exact-name silence the reference's `==` check has
+            # (module.py:290-301)
+            ds_name = str(ds[0][0]).lower()
+            return any(a.lower() in ds_name for a in auto_names)
 
         # the reference only auto-runs the (slow) recon suite every 5 epochs
         # (module.py:296 "eval only every 5 epochs because it's slow");
@@ -309,6 +323,7 @@ class Trainer:
         for name, loader in val_loaders.items():
             losses: List[float] = []
             pose_ms, recon_ms = [], []
+            suite_matched = False
             for batch in loader:
                 jb = self._device_batch(batch)
                 ts = np.asarray(batch["true_shapes"])
@@ -316,9 +331,19 @@ class Trainer:
                 loss, preds = fn(self.state.params, jb,
                                  jax.random.key(0))
                 losses.append(float(loss))
-                if _dispatch(eval_pose, name, batch, POSE_EVAL_DATASETS):
+                pose_on = _dispatch(eval_pose, name, batch,
+                                    POSE_EVAL_DATASETS)
+                # match test without the epoch gate, for the no-suite warning
+                suite_matched |= bool(pose_on or _dispatch(
+                    eval_recon, name, batch, RECON_EVAL_DATASETS))
+                if pose_on:
                     preds_v = _split_preds_by_view(preds)
-                    poses, _ = estimate_camera_poses(preds_v)
+                    # thread true shapes through so portrait samples' maps
+                    # are un-transposed before PnP (the reference's
+                    # correct_preds_orientation, module.py:871-938)
+                    views_v = [{"true_shape": ts[:, i]}
+                               for i in range(len(preds_v))]
+                    poses, _ = estimate_camera_poses(preds_v, views=views_v)
                     for b in range(len(poses)):
                         gt = np.asarray(batch["camera_pose"][b])
                         pose_ms.append(pose_metrics(np.stack(poses[b]), gt))
@@ -329,6 +354,15 @@ class Trainer:
                         views_v, preds_v,
                         use_pts3d_from_local_head=use_pts3d_from_local_head)
                     recon_ms.extend([r for r in rs if r])
+            if losses and not suite_matched:
+                log.warning(
+                    f"val loader {name!r}: no metric suite dispatched — the "
+                    "dataset name matched neither the pose set "
+                    f"{sorted(POSE_EVAL_DATASETS)} nor the recon set "
+                    f"{sorted(RECON_EVAL_DATASETS)} and no explicit "
+                    "eval_pose/eval_recon flag was given; only val loss is "
+                    "recorded for it"
+                )
             results[f"val/{name}/loss"] = float(np.mean(losses)) if losses else float("nan")
             for ms, prefix in ((pose_ms, "pose"), (recon_ms, "recon")):
                 if ms:

@@ -269,3 +269,64 @@ def test_color_jitter_transform():
     )
     vp = ds_plain[(0, 0)]
     assert not np.array_equal(v1[0]["img"], vp[0]["img"])
+
+
+def test_shm_sweep_reclaims_dead_owner_blocks(tmp_path):
+    """r4 advisor: a hard-killed parent leaks /dev/shm blocks; a fresh
+    loader start sweeps blocks whose embedded owner pid is dead, and never
+    touches a live owner's blocks."""
+    import os
+
+    from fast3r_tpu.data.loader import _SHM_DIR, _sweep_stale_shm
+
+    if not os.path.isdir(_SHM_DIR):
+        import pytest
+
+        pytest.skip("no /dev/shm on this platform")
+
+    # find a dead pid (max_pid+ guesses: walk down from a high number)
+    dead = None
+    for cand in range(2 ** 22 - 7, 2 ** 22 - 4096, -13):
+        try:
+            os.kill(cand, 0)
+        except ProcessLookupError:
+            dead = cand
+            break
+        except PermissionError:
+            continue
+    assert dead is not None
+
+    stale = os.path.join(_SHM_DIR, f"f3r{dead}_deadbeef_1_0")
+    live = os.path.join(_SHM_DIR, f"f3r{os.getpid()}_cafe_1_0")
+    for p in (stale, live):
+        with open(p, "wb") as f:
+            f.write(b"x" * 64)
+    try:
+        removed = _sweep_stale_shm()
+        assert removed >= 1
+        assert not os.path.exists(stale)
+        assert os.path.exists(live)  # live owner's block untouched
+    finally:
+        for p in (stale, live):
+            if os.path.exists(p):
+                os.unlink(p)
+
+
+def test_loader_close_reclaims_own_blocks():
+    """DataLoader.close() unlinks this loader's leftover /dev/shm blocks
+    (e.g. an iterator suspended mid-epoch)."""
+    import os
+
+    from fast3r_tpu.data.loader import _SHM_DIR, DataLoader
+
+    if not os.path.isdir(_SHM_DIR):
+        import pytest
+
+        pytest.skip("no /dev/shm on this platform")
+
+    loader = DataLoader(dataset=list(range(4)), batch_size=2, num_workers=2)
+    orphan = os.path.join(_SHM_DIR, loader._shm_prefix + "123_0")
+    with open(orphan, "wb") as f:
+        f.write(b"x" * 64)
+    loader.close()
+    assert not os.path.exists(orphan)

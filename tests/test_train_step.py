@@ -167,3 +167,24 @@ def test_nonfinite_loss_skips_update():
         for a, b in zip(jax.tree.leaves(state4.params),
                         jax.tree.leaves(params_before)))
     assert changed
+
+
+def test_lr_scales_unknown_key_raises():
+    """r4 advisor: a typo'd lr_scales group must raise at init, not silently
+    train at full LR (the reference's torch param groups make a bad key
+    structurally impossible, optim_factory.py:15-20)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from fast3r_tpu.train.step import OptimConfig, make_optimizer
+
+    params = {"encoder": {"w": jnp.ones((2, 2))},
+              "decoder": {"w": jnp.ones((2, 2))}}
+    tx = make_optimizer(OptimConfig(warmup_steps=1, total_steps=10,
+                                    lr_scales=(("encodr", 0.25),)))
+    with pytest.raises(ValueError, match="encodr"):
+        tx.init(params)
+    # a valid key still initializes
+    tx_ok = make_optimizer(OptimConfig(warmup_steps=1, total_steps=10,
+                                       lr_scales=(("encoder", 0.25),)))
+    tx_ok.init(params)
