@@ -368,29 +368,33 @@ def make_seq_sharded_train_step(cfg, optim_cfg, mesh: Mesh,
     group.  Gradients of the replicated params all-reduce automatically via
     shard_map's transpose of the replicated in_spec.
 
-    ring_impl: training supports only "xla" (the differentiable ppermute
-    ring).  The "rdma" in-kernel interconnect ring (parallel/ring_rdma.py)
-    is FORWARD-ONLY by design — its hop-pipelined remote copies have no
-    custom VJP — so requesting it here raises rather than silently
-    substituting; use make_seq_sharded_forward(ring_impl="rdma") for
-    inference, or "xla" to train.
+    ring_impl: "xla" = the differentiable ppermute ring (custom-VJP flash
+    blocks + online-softmax merges).  "rdma" (r5) = the in-kernel
+    interconnect ring with a full backward: forward is the bounded-slot
+    RDMA kernel, backward the dq + dkv ring kernels riding the same
+    protocol (parallel/ring_rdma.py ring_flash_attention_rdma_diff);
+    gradients match the XLA ring (tests/test_sequence_parallel.py).
     """
     from fast3r_tpu.models.decoder import sample_random_image_ids
     from fast3r_tpu.train.losses import LossConfig
     from fast3r_tpu.train.step import TrainState, make_optimizer
 
-    if ring_impl != "xla":
-        raise NotImplementedError(
-            f"ring_impl={ring_impl!r}: the RDMA ring is forward-only "
-            "(no VJP for the in-kernel remote copies); sequence-sharded "
-            "TRAINING always rides the differentiable XLA ppermute ring. "
-            "Pass ring_impl='xla' here, or use "
-            "make_seq_sharded_forward(ring_impl='rdma') for inference.")
     loss_cfg = loss_cfg or LossConfig()
     tx = make_optimizer(optim_cfg)
     n = mesh.shape[axis]
     n_data = mesh.shape[data_axis] if data_axis else 1
-    ring = functools.partial(ring_flash_attention, axis_name=axis)
+    if ring_impl == "rdma":
+        from fast3r_tpu.parallel.ring_rdma import (
+            ring_flash_attention_rdma_diff,
+        )
+
+        # positional call: custom_vjp nondiff_argnums are position-resolved
+        def ring(q, k, v, s, _axis=axis, _n=n):
+            return ring_flash_attention_rdma_diff(q, k, v, s, _axis, _n)
+    elif ring_impl == "xla":
+        ring = functools.partial(ring_flash_attention, axis_name=axis)
+    else:
+        raise ValueError(f"unknown ring_impl {ring_impl!r}")
 
     def per_shard_loss(params, batch_loc, step_rng):
         imgs = batch_loc["imgs"]

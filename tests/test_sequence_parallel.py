@@ -341,3 +341,89 @@ def test_seq_sharded_forward_rdma_matches_single_device():
             np.asarray(out[key]), np.asarray(ref[key]),
             rtol=5e-4, atol=5e-4, err_msg=key,
         )
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 8])
+def test_rdma_ring_gradient_matches_global(n):
+    """r5: the differentiable RDMA ring (forward kernel + dq/dkv backward
+    ring kernels, parallel/ring_rdma.py) must match single-device attention
+    gradients.  n covers the same protocol regimes as the forward test."""
+    from fast3r_tpu.parallel.ring_rdma import ring_flash_attention_rdma_diff
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs[:n]), ("seq",))
+    rng = np.random.default_rng(11)
+    B, S, H, D = 1, n * 32 * max(1, 8 // n), 4, 32
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+        for _ in range(3)
+    )
+    w = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    scale = D ** -0.5
+
+    def ref_loss(q, k, v):
+        o = dot_product_attention(q, k, v, scale, impl="naive")
+        return jnp.sum(o * w)
+
+    ref_grads = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+
+    ring = jax.shard_map(
+        lambda q, k, v: ring_flash_attention_rdma_diff(q, k, v, scale,
+                                                       "seq", n),
+        mesh=mesh,
+        in_specs=(P(None, "seq"), P(None, "seq"), P(None, "seq")),
+        out_specs=P(None, "seq"),
+        check_vma=False,
+    )
+
+    def ring_loss(q, k, v):
+        return jnp.sum(ring(q, k, v) * w)
+
+    sh = NamedSharding(mesh, P(None, "seq"))
+    grads = jax.jit(jax.grad(ring_loss, argnums=(0, 1, 2)))(
+        jax.device_put(q, sh), jax.device_put(k, sh), jax.device_put(v, sh))
+    for g, r in zip(grads, ref_grads):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=3e-5, atol=3e-5)
+
+
+def test_seq_sharded_train_step_rdma_matches_xla():
+    """VERDICT r4 #4 gate: make_seq_sharded_train_step(ring_impl='rdma')
+    matches the XLA ppermute ring's step on the virtual mesh — same loss,
+    grad norm, and updated params."""
+    from fast3r_tpu.data.dummy import make_dummy_batch
+    from fast3r_tpu.parallel.sequence import make_seq_sharded_train_step
+    from fast3r_tpu.train.step import OptimConfig, init_train_state
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs[:4]), ("seq",))
+    cfg = Fast3RConfig.tiny()
+    optim_cfg = OptimConfig(warmup_steps=2, total_steps=10)
+    params = init_fast3r(jax.random.key(0), cfg)
+
+    batch_np = make_dummy_batch(batch_size=1, num_views=8, height=48,
+                                width=64, seed=3)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+             if k in ("imgs", "pts3d", "valid_mask", "camera_pose")}
+    sh = NamedSharding(mesh, P(None, "seq"))
+    sharded_batch = {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+    s_xla = init_train_state(jax.tree.map(jnp.copy, params), optim_cfg,
+                             jax.random.key(1))
+    xla_step = make_seq_sharded_train_step(cfg, optim_cfg, mesh,
+                                           remat=False, ring_impl="xla")
+    s_xla2, m_xla = xla_step(s_xla, sharded_batch)
+
+    s_rdma = init_train_state(params, optim_cfg, jax.random.key(1))
+    rdma_step = make_seq_sharded_train_step(cfg, optim_cfg, mesh,
+                                            remat=False, ring_impl="rdma")
+    s_rdma2, m_rdma = rdma_step(s_rdma, sharded_batch)
+
+    np.testing.assert_allclose(float(m_rdma["loss"]), float(m_xla["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_rdma["grad_norm"]),
+                               float(m_xla["grad_norm"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s_rdma2.params),
+                    jax.tree.leaves(s_xla2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
