@@ -31,6 +31,13 @@ def main(argv=None):
                     help="pose extraction: on-device jitted RANSAC-PnP "
                          "(default) or host cv2 SQPNP (parity oracle)")
     ap.add_argument("--conf-percentile", type=float, default=10.0)
+    ap.add_argument("--frame", type=int, default=None,
+                    help="export only frames [0..FRAME] — the headless "
+                         "equivalent of the viser playback timestep "
+                         "(serve/viser_server.py)")
+    ap.add_argument("--head", default="local", choices=["local", "global"],
+                    help="point source: aligned local head (default) or the "
+                         "global head — the viser Global/Local toggles")
     ap.add_argument("--mask-sky", action="store_true")
     ap.add_argument("--save-npz", action="store_true")
     ap.add_argument("--gif", action="store_true",
@@ -96,16 +103,22 @@ def main(argv=None):
     poses, focals = estimate_camera_poses(preds, backend=args.backend)
 
     os.makedirs(args.out, exist_ok=True)
-    scene = assemble_scene(views, preds,
+    scene_views, scene_preds = views, preds
+    if args.frame is not None:
+        t = max(0, min(args.frame, len(views) - 1))
+        scene_views, scene_preds = views[:t + 1], preds[:t + 1]
+    scene = assemble_scene(scene_views, scene_preds,
+                           use_local_head=args.head == "local",
                            conf_percentile=args.conf_percentile,
                            mask_sky=args.mask_sky)
     if args.color_mode == "conf":
         from fast3r_tpu.serve.visualizer import confidence_colors
 
         confs = np.concatenate([
-            np.asarray(p["conf_local" if "pts3d_local_aligned_to_global" in p
+            np.asarray(p["conf_local" if args.head == "local"
+                         and "pts3d_local_aligned_to_global" in p
                          else "conf"])[0][f["mask"]]
-            for p, f in zip(preds, scene["per_frame"])
+            for p, f in zip(scene_preds, scene["per_frame"])
         ])
         scene["colors"] = confidence_colors(confs)
     ply_path = export_scene_ply(os.path.join(args.out, "scene.ply"), scene)

@@ -50,3 +50,21 @@ def test_reconstruct_cli_mixed_shapes_falls_back_to_host(tmp_path, capsys):
     main([src, "--out", out, "--size", "64"])
     assert "mixed raw shapes -> host preprocessing" in capsys.readouterr().out
     assert os.path.exists(os.path.join(out, "scene.ply"))
+
+
+def test_reconstruct_cli_frame_and_head_knobs(tmp_path):
+    """--frame (playback-timestep export) and --head (global/local source)
+    parity knobs (VERDICT r4 #5; viser timestep + head toggles)."""
+    from fast3r_tpu.cli.reconstruct import main
+    from fast3r_tpu.serve.ply import read_ply
+
+    src = _write_images(tmp_path, [(96, 128)])
+    out_all = str(tmp_path / "out_all")
+    out_one = str(tmp_path / "out_one")
+    main([src, "--out", out_all, "--size", "64", "--head", "global"])
+    main([src, "--out", out_one, "--size", "64", "--head", "global",
+          "--frame", "0"])
+    pts_all, _ = read_ply(os.path.join(out_all, "scene.ply"))
+    pts_one, _ = read_ply(os.path.join(out_one, "scene.ply"))
+    # frame 0 only -> exactly one view's worth of the 3-view cloud
+    assert len(pts_one) == len(pts_all) // 3
