@@ -250,20 +250,40 @@ class Co3d_Multiview(BaseViewDataset):
         return len(self.scene_list) * len(self.combinations)
 
     def _get_views(self, idx, resolution, rng, max_scene_retries=5):
-        for attempt in range(max_scene_retries):
-            scene_idx = (idx + attempt) % len(self.scene_list)
-            obj, instance = self.scene_list[scene_idx]
-            if (obj, instance) in self.invalid_scene_tracker:
-                continue
+        def try_scene(obj, instance):
             pool = self.scenes[obj, instance]
             inval = self.invalidate[obj, instance].setdefault(
                 resolution, [False] * len(pool))
             views = self._fetch_pool(idx, obj, instance, pool, inval,
                                      resolution, rng)
+            if not views:
+                self.invalid_scene_tracker.add((obj, instance))
+            return views
+
+        # cheap deterministic window first: walk forward from idx
+        for attempt in range(max_scene_retries):
+            scene_idx = (idx + attempt) % len(self.scene_list)
+            obj, instance = self.scene_list[scene_idx]
+            if (obj, instance) in self.invalid_scene_tracker:
+                continue
+            views = try_scene(obj, instance)
             if views:
                 return views
-            self.invalid_scene_tracker.add((obj, instance))
-        raise ValueError(f"Exceeded {max_scene_retries=}: no valid views")
+        # clustered-failure recovery (reference co3d_multiview.py:107-130:
+        # persistent invalid set + resampling a fresh scene): try every
+        # not-yet-invalidated scene in a seeded random order; raise only
+        # when the WHOLE dataset is invalid — loud, not a hang
+        remaining = [s for s in self.scene_list
+                     if s not in self.invalid_scene_tracker]
+        for si in rng.permutation(len(remaining)):
+            views = try_scene(*remaining[si])
+            if views:
+                return views
+        raise ValueError(
+            f"no valid views: {max_scene_retries} scenes from idx {idx} and "
+            f"all {len(remaining)} remaining scenes failed "
+            f"({len(self.invalid_scene_tracker)}/{len(self.scene_list)} "
+            "scenes invalidated)")
 
     def _fetch_pool(self, idx, obj, instance, pool, inval, resolution, rng):
         last = len(pool) - 1

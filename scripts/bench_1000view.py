@@ -196,12 +196,17 @@ def main_staged(args):
     # minutes-long compile 8-12 times for identical HLO.
     seg_cache = {}
 
-    def get_segment_fn(length):
-        if length not in seg_cache:
+    def get_segment_fn(length, donate=True):
+        key = (length, donate)
+        if key not in seg_cache:
             # donate x: the input buffer is dead the moment the first block
             # consumes it — reusing it cuts ~1.6 GB off the segment's peak
-            # live set (r4 device-hooks OOM fix)
-            @functools.partial(jax.jit, donate_argnums=(1,))
+            # live set (r4 device-hooks OOM fix).  donate=False is used for
+            # the segment that CONSUMES a device-resident hook (recompute-h0
+            # mode keeps hooks 12/18 on device; donating would delete them —
+            # caught on hardware, r5)
+            @functools.partial(jax.jit,
+                               donate_argnums=(1,) if donate else ())
             def run(blocks, x):
                 # fused=True is LOAD-BEARING at 512-res: the plain path's
                 # packed (S, 3, H, 64) qkv intermediate carries a 2x
@@ -213,12 +218,12 @@ def main_staged(args):
                     depth=length, fused=True,
                 )
                 return x
-            seg_cache[length] = run
-        return seg_cache[length]
+            seg_cache[key] = run
+        return seg_cache[key]
 
-    def run_segment(a, b, x):
+    def run_segment(a, b, x, donate=True):
         sliced = jax.tree.map(lambda t: t[a:b], params["decoder"]["blocks"])
-        return get_segment_fn(b - a)(sliced, x)
+        return get_segment_fn(b - a, donate)(sliced, x)
 
     @jax.jit
     def final_norm(p, x):
@@ -276,11 +281,15 @@ def main_staged(args):
         t1 = time.perf_counter()
         phases["embed"] = t1 - t0 - phases["encoder"]
         spill = 0.0
+        x_is_live_hook = False
         for a, b in segments:
-            x = sync(run_segment(a, b, x))
+            # never donate a buffer that is also a stored device hook
+            x = sync(run_segment(a, b, x, donate=not x_is_live_hook))
+            x_is_live_hook = False
             if b in dcfg.hooks and b != dcfg.depth:
                 ts = time.perf_counter()
                 hooks[b] = to_host(x) if args.host_hooks else x
+                x_is_live_hook = not args.host_hooks
                 spill += time.perf_counter() - ts
         hooks[dcfg.depth] = (to_host(final_norm(params, x))
                              if args.host_hooks

@@ -188,3 +188,46 @@ def test_lr_scales_unknown_key_raises():
     tx_ok = make_optimizer(OptimConfig(warmup_steps=1, total_steps=10,
                                        lr_scales=(("encoder", 0.25),)))
     tx_ok.init(params)
+
+
+def test_train_step_zero_valid_pixel_view():
+    """VERDICT r4 #8: a view with NO valid pixels (fully-masked depth, as
+    happens in the wild with bad CO3D masks) must flow through the FULL
+    train step — finite loss, finite grads, update applied (the masked-mean
+    reductions must not divide by zero)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fast3r_tpu.data.dummy import make_dummy_batch
+    from fast3r_tpu.models.fast3r import Fast3RConfig, init_fast3r
+    from fast3r_tpu.train.step import (
+        OptimConfig, init_train_state, make_jitted_train_step,
+    )
+
+    cfg = Fast3RConfig.tiny()
+    params = init_fast3r(jax.random.key(0), cfg)
+    batch_np = make_dummy_batch(batch_size=1, num_views=4, height=48,
+                                width=64, seed=9)
+    batch_np["valid_mask"][:, 0] = False       # view 0: zero valid pixels
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+             if k in ("imgs", "true_shapes", "pts3d", "valid_mask",
+                      "camera_pose")}
+    state = init_train_state(params, OptimConfig(warmup_steps=1,
+                                                 total_steps=10),
+                             jax.random.key(1))
+    # snapshot BEFORE the step: the jitted step donates its input state
+    a = np.asarray(jax.tree.leaves(state.params)[0]).copy()
+    step = make_jitted_train_step(cfg, OptimConfig(warmup_steps=1,
+                                                   total_steps=10),
+                                  remat=False)
+    new_state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"])), m
+    assert np.isfinite(float(m["grad_norm"])), m
+    assert float(m["grad_norm"]) > 0.0, m
+    assert int(m["skipped_nonfinite"]) == 0
+    # params actually move once the warmup LR is non-zero (step 2)
+    new_state, m2 = step(new_state, batch)
+    assert int(m2["skipped_nonfinite"]) == 0
+    b = np.asarray(jax.tree.leaves(new_state.params)[0])
+    assert not np.allclose(a, b)
