@@ -182,6 +182,14 @@ def train_step(
         "skipped_nonfinite": (~finite).astype(jnp.int32),
         **{k: v for k, v in details.items()},
     }
+    # per-group gradient/parameter norms — the wandb.watch(log="all")
+    # equivalent (reference multiview_dust3r_module.py:146-152): a handful
+    # of scalar reductions per step, mirrored to every metric sink by the
+    # trainer (wandb included when importable)
+    for group, g in grads.items():
+        metrics[f"watch/grad_norm/{group}"] = optax.global_norm(g)
+    for group, p in state.params.items():
+        metrics[f"watch/param_norm/{group}"] = optax.global_norm(p)
     new_state = TrainState(
         params=new_params,
         opt_state=new_opt_state,

@@ -46,6 +46,12 @@ BATCH_KEYS = ("imgs", "true_shapes", "pts3d", "valid_mask", "camera_pose")
 
 # Reference validation_step auto-dispatch (module.py:290-301): pose metrics
 # for CO3D batches, reconstruction metrics for the recon benchmark datasets.
+def _process_count() -> int:
+    """Host count for global-counter bookkeeping (seam: tests patch THIS
+    instead of jax.process_count, which orbax also consults)."""
+    return jax.process_count()
+
+
 POSE_EVAL_DATASETS = frozenset({"Co3d_v2"})
 RECON_EVAL_DATASETS = frozenset({"dtu", "7scenes", "nrgbd"})
 
@@ -238,7 +244,7 @@ class Trainer:
                 # metric sums the per-rank counts the same way
                 # (module.py:33-50 + sync_dist logging); counters persist in
                 # the checkpoint, so resume continues the global tally
-                n_hosts = jax.process_count()
+                n_hosts = _process_count()
                 self.total_samples += B * n_hosts
                 self.total_images += B * V * n_hosts
                 if i % self.cfg.log_every_n_steps == 0:
@@ -248,6 +254,10 @@ class Trainer:
                         grad_norm=float(m["grad_norm"]),
                         total_samples=self.total_samples,
                         total_images=self.total_images,
+                        # per-group grad/param norms: the wandb.watch
+                        # gradient-logging equivalent (module.py:146-152)
+                        **{k: float(v) for k, v in m.items()
+                           if k.startswith("watch/")},
                     )
                 if self._stop_requested:
                     self.save_checkpoint("last")

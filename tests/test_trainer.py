@@ -99,7 +99,7 @@ def test_global_counters_multihost(tmp_path, monkeypatch):
     global tally must survive checkpoint resume."""
     import fast3r_tpu.train.trainer as trainer_mod
 
-    monkeypatch.setattr(trainer_mod.jax, "process_count", lambda: 4)
+    monkeypatch.setattr(trainer_mod, "_process_count", lambda: 4)
 
     t1 = make_trainer(tmp_path, max_epochs=1)
     loader = get_data_loader(DS, batch_size=2, num_workers=0)
@@ -114,3 +114,20 @@ def test_global_counters_multihost(tmp_path, monkeypatch):
     assert t2.total_samples == steps * 2 * 4
     t2.fit(loader, resume=False)
     assert t2.total_samples == 2 * steps * 2 * 4
+
+
+def test_watch_metrics_reach_csv(tmp_path):
+    """wandb.watch(log='all') equivalent (module.py:146-152): per-group
+    grad/param norms flow from the jitted step into every metric sink."""
+    import csv
+
+    trainer = make_trainer(tmp_path, max_epochs=1)
+    loader = get_data_loader(DS, batch_size=2, num_workers=0)
+    trainer.fit(loader, resume=False)
+    with open(os.path.join(tmp_path, "metrics.csv")) as f:
+        rows = list(csv.DictReader(f))
+    watch_cols = [c for c in rows[0] if c.startswith("watch/")]
+    assert any(c.startswith("watch/grad_norm/") for c in watch_cols)
+    assert any(c.startswith("watch/param_norm/") for c in watch_cols)
+    vals = [float(rows[0][c]) for c in watch_cols if rows[0][c]]
+    assert vals and all(np.isfinite(v) for v in vals)
