@@ -65,6 +65,15 @@ MAX_SUB_KV = 1920
 # 86.5, (512,512) 74.0 (the r1 default), (256,1024) 69.9.
 MAX_BLOCK_Q_BWD = 512
 MAX_BLOCK_KV_BWD = 2560
+# Packed head-group kernel (r5): the 64 MiB scoped-VMEM limit admits a
+# bigger kv block than the BHSD kernel's default budget, and the r5 hardware
+# sweep (scripts/bench_flash_packed.py --sweep, S=15360) put the optimum at
+# bk=5120 with 2560-column sub-chains: (1024,5120)@2 95.4 TFLOP/s,
+# (768,5120)@2 95.5, (1280,5120)@2 95.2 vs (1024,3840)@2 93.0 — ABOVE the
+# naive ~95 "half-MXU SOL" estimate; whole-row (1024,15360)@6 87.1 regresses
+# (score tile too large).  split sweep: @1 93.2, @2 95.4, @4 92.6.
+MAX_BLOCK_KV_PACKED = 5120
+MAX_SUB_KV_PACKED = 2560
 
 
 def _pick_split(bk: int, max_sub: int = None) -> int:
@@ -687,6 +696,175 @@ def _flash_bnhd_bwd(scale, res, do):
 _flash_bnhd.defvjp(_flash_bnhd_fwd, _flash_bnhd_bwd)
 
 
+# ---------------------------------------------------------------------------
+# packed (B, N, C) head-group forward — zero-relayout decoder road (r5)
+# ---------------------------------------------------------------------------
+# The fused decoder block's qkv kernel (nn/fused_block.ln_qkv) emits q/k/v as
+# (M, C) arrays with each head's D lanes packed side by side — exactly the
+# layout the out-projection consumes again after attention, and a free
+# reshape of the (B, N, H, D) interface layout.  The BHSD wrapper therefore
+# paid 4 materialized (B, S, H, D) <-> (B, H, S, D) XLA transposes per
+# decoder layer (~63 MB of HBM r+w each at the 20-view headline shape,
+# ~8 ms/forward over 24 layers).  This kernel blocks the C axis in 128-lane
+# GROUPS straight out of the packed layout — a group holds 128/D whole heads
+# (2 at D=64; manual lane slices inside a 128-lane tile are the safe subset:
+# the encoder's packed kernel uses the same 64-offset slices, while >=512-
+# lane offsets miscompile, ops/batched_attention.py _pick_gv notes) — so no
+# relayout ever materializes.  Per-head math is identical to _fwd_kernel
+# (log2-domain prescaled q, SPLIT partial-softmax sub-chains, ones-extended-v
+# MXU row sum); the group's heads share no state, which also hands Mosaic a
+# second independent MXU/VPU stream to overlap softmax exposure with.
+
+def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, *,
+                       kv_steps: int, d: int, hpd: int, split: int):
+    """One program = one (q block, 128-lane head group); grid kv innermost.
+
+    Scratch: m_scr (bq, hpd*128) running max, head h broadcast over lanes
+    [h*128, (h+1)*128); acc_scr (bq, hpd*128) fp32 accumulator, head h's
+    [p@v | row-sum] in lanes [h*aw, h*aw+aw) with aw = d + _ones_width(d)
+    (= 128 for every d < 128, so segments stay lane-aligned)."""
+    kv = pl.program_id(3)
+
+    @pl.when(kv == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    bk = k_ref.shape[1]
+    sub = bk // split
+    aw = d + _ones_width(d)
+    ones = jnp.ones((sub, _ones_width(d)), v_ref.dtype)
+    qp = q_ref[0]  # (bq, hpd*d), pre-scaled by scale*log2(e)
+
+    for h in range(hpd):
+        qh = qp[:, h * d:(h + 1) * d]
+        parts = []
+        for j in range(split):
+            kh = k_ref[0, j * sub:(j + 1) * sub, h * d:(h + 1) * d]
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (bq, sub) fp32, log2 domain
+            m_j = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m_j).astype(v_ref.dtype)
+            vh = v_ref[0, j * sub:(j + 1) * sub, h * d:(h + 1) * d]
+            v_ext = jnp.concatenate([vh, ones], axis=-1)
+            acc_j = jax.lax.dot_general(
+                p, v_ext, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (bq, aw): [:, :d] = p@v, [:, d:] = row-sum replicated
+            parts.append((m_j, acc_j))
+
+        m_prev = m_scr[:, h * 128:h * 128 + 1]
+        m_new = m_prev
+        for m_j, _ in parts:
+            m_new = jnp.maximum(m_new, m_j)
+        acc = acc_scr[:, h * aw:(h + 1) * aw] * jnp.exp2(m_prev - m_new)
+        for m_j, acc_j in parts:
+            acc = acc + acc_j * jnp.exp2(m_j - m_new)
+        acc_scr[:, h * aw:(h + 1) * aw] = acc
+        m_scr[:, h * 128:(h + 1) * 128] = jnp.broadcast_to(
+            m_new, (m_new.shape[0], 128))
+
+    @pl.when(kv == kv_steps - 1)
+    def _finish():
+        outs = []
+        for h in range(hpd):
+            a = acc_scr[:, h * aw:(h + 1) * aw]
+            outs.append((a[:, :d] / a[:, d:d + 1]).astype(o_ref.dtype))
+        o_ref[0] = jnp.concatenate(outs, axis=-1)
+
+
+def _flash_forward_packed(q, k, v, scale, bq, bk, d, split=None):
+    """Forward over packed (B, N, C) q/k/v (heads along lanes); (B, N, C) out.
+
+    Inference/primal only (no lse output — the vjp fwd runs the BHSD kernel,
+    whose transposes the train step always paid)."""
+    B, N, C = q.shape
+    Skv = k.shape[1]
+    if split is None:
+        split = _pick_split(bk, MAX_SUB_KV_PACKED)
+    hpd = 128 // d
+    q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    q_spec = pl.BlockSpec((1, bq, 128), lambda b, hp, qi, ki: (b, qi, hp))
+    kv_spec = pl.BlockSpec((1, bk, 128), lambda b, hp, qi, ki: (b, ki, hp))
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_packed, kv_steps=Skv // bk, d=d,
+                          hpd=hpd, split=split),
+        grid=(B, C // 128, N // bq, Skv // bk),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((B, N, C), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, hpd * 128), jnp.float32),
+            pltpu.VMEM((bq, hpd * (d + _ones_width(d))), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(q, k, v)
+
+
+def _to_bhsd(t, d):
+    B, N, C = t.shape
+    return jnp.swapaxes(t.reshape(B, N, C // d, d), 1, 2)
+
+
+def _to_packed(t):
+    B, H, S, D = t.shape
+    return jnp.swapaxes(t, 1, 2).reshape(B, S, H * D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_packed(q, k, v, scale, d):
+    B, N, C = q.shape
+    bq = _pick_block(N, MAX_BLOCK_Q)
+    bk = _pick_block(k.shape[1], MAX_BLOCK_KV_PACKED)
+    return _flash_forward_packed(q, k, v, scale, bq, bk, d)
+
+
+def _flash_packed_fwd(q, k, v, scale, d):
+    # grad path = the BHSD road verbatim (transposes included): training
+    # cost is unchanged and the saved residuals/lse feed the existing
+    # backward kernels.  Packed backward kernels are a future lever.
+    qt, kt, vt = _to_bhsd(q, d), _to_bhsd(k, d), _to_bhsd(v, d)
+    bq = _pick_block(qt.shape[2], MAX_BLOCK_Q)
+    bk = _pick_block(kt.shape[2], MAX_BLOCK_KV)
+    o, lse = _flash_forward(qt, kt, vt, scale, bq, bk)
+    return _to_packed(o), (qt, kt, vt, o, lse)
+
+
+def _flash_packed_bwd(scale, d, res, do):
+    qt, kt, vt, o, lse = res
+    bq = _pick_block(qt.shape[2], MAX_BLOCK_Q_BWD)
+    bk = _pick_block(kt.shape[2], MAX_BLOCK_KV_BWD)
+    dq, dk, dv = _flash_backward(qt, kt, vt, o, lse, _to_bhsd(do, d),
+                                 scale, bq, bk)
+    return _to_packed(dq), _to_packed(dk), _to_packed(dv)
+
+
+_flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
+
+
+def packed_flash_supported(q_shape, k_shape, itemsize: int = 2) -> bool:
+    """(B, N, H, D) shapes the packed head-group road takes: whole heads per
+    128-lane group, tileable blocks, and NOT the short-sequence regime where
+    the whole-sequence single kernel wins (that path amortizes per-program
+    overhead across many heads; the packed kernel would pay it per tile)."""
+    B, N, H, D = q_shape
+    Skv = k_shape[1]
+    return (
+        128 % D == 0
+        and (H * D) % 128 == 0
+        and _pick_block(N, MAX_BLOCK_Q) > 0
+        and _pick_block(Skv, MAX_BLOCK_KV_PACKED) > 0
+        and not _pick_single_blocks(B, H, N, Skv, D, itemsize)[0]
+    )
+
+
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     scale: float) -> jnp.ndarray:
     """Flash attention over (B, N, H, D) inputs (fast3r_tpu layout).
@@ -703,6 +881,15 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         from fast3r_tpu.ops.attention import dot_product_attention
 
         return dot_product_attention(q, k, v, scale, impl="naive")
+    B, N, H, D = q.shape
+    if packed_flash_supported(q.shape, k.shape, q.dtype.itemsize):
+        # zero-relayout road: (B, N, H, D) -> (B, N, C) is a FREE reshape
+        # (heads are already lane-adjacent), and the producing qkv kernel /
+        # consuming projection use that exact layout — XLA cancels the
+        # reshapes end to end, so no transpose ever materializes
+        o = _flash_packed(q.reshape(B, N, H * D), k.reshape(B, Skv, H * D),
+                          v.reshape(B, Skv, H * D), float(scale), D)
+        return o.reshape(B, N, H, D)
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)

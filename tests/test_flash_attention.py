@@ -179,3 +179,76 @@ def test_flash_bnhd_native_forward_and_grads():
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
             err_msg=f"d{name}",
         )
+
+
+def test_flash_packed_headgroup_forward_and_grads():
+    """The packed (B, N, C) head-group kernel (the r5 decoder hot path: no
+    transposes around the op, 2 heads per 128-lane block at D=64) matches
+    naive attention in forward and gradients, including through the
+    flash_attention dispatch."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from fast3r_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(22)
+    B, S, H, D = 2, 1536, 4, 64  # large enough that _pick_single declines
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+        for _ in range(3)
+    )
+    scale = D ** -0.5
+    assert fa.packed_flash_supported(q.shape, k.shape, 4)
+    ref = _naive(q, k, v, scale)
+    with pltpu.force_tpu_interpret_mode():
+        out = fa._flash_packed(
+            q.reshape(B, S, H * D), k.reshape(B, S, H * D),
+            v.reshape(B, S, H * D), scale, D).reshape(B, S, H, D)
+        via_dispatch = fa.flash_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(via_dispatch), np.asarray(out),
+                               rtol=0, atol=0)
+
+    def loss_naive(q, k, v):
+        return jnp.sum(jnp.sin(_naive(q, k, v, scale)))
+
+    def loss_packed(q, k, v):
+        with pltpu.force_tpu_interpret_mode():
+            o = fa._flash_packed(q.reshape(B, S, H * D),
+                                 k.reshape(B, S, H * D),
+                                 v.reshape(B, S, H * D), scale, D)
+        return jnp.sum(jnp.sin(o.reshape(B, S, H, D)))
+
+    g_ref = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
+    g_out = jax.grad(loss_packed, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_out, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
+            err_msg=f"d{name}",
+        )
+
+
+def test_flash_packed_odd_head_lanes():
+    """Head 1 of each 128-lane pair (the 64-offset lane slice) gets distinct
+    values: catches a slicing bug that head-0-only data would mask."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from fast3r_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(23)
+    B, S, H, D = 1, 1536, 2, 64
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+        for _ in range(3)
+    )
+    # zero head 0 entirely — the output must still match naive on head 1
+    q = q.at[:, :, 0].set(0.0)
+    scale = D ** -0.5
+    ref = _naive(q, k, v, scale)
+    with pltpu.force_tpu_interpret_mode():
+        out = fa._flash_packed(
+            q.reshape(B, S, H * D), k.reshape(B, S, H * D),
+            v.reshape(B, S, H * D), scale, D).reshape(B, S, H, D)
+    np.testing.assert_allclose(np.asarray(out[:, :, 1]),
+                               np.asarray(ref[:, :, 1]),
+                               rtol=2e-5, atol=2e-5)
