@@ -715,15 +715,24 @@ _flash_bnhd.defvjp(_flash_bnhd_fwd, _flash_bnhd_bwd)
 # MXU row sum); the group's heads share no state, which also hands Mosaic a
 # second independent MXU/VPU stream to overlap softmax exposure with.
 
-def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, *,
-                       kv_steps: int, d: int, hpd: int, split: int):
+def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, *refs,
+                       kv_steps: int, d: int, hpd: int, split: int,
+                       want_lse: bool = False):
     """One program = one (q block, 128-lane head group); grid kv innermost.
 
     Scratch: m_scr (bq, hpd*128) running max, head h broadcast over lanes
     [h*128, (h+1)*128); acc_scr (bq, hpd*128) fp32 accumulator, head h's
     [p@v | row-sum] in lanes [h*aw, h*aw+aw) with aw = d + _ones_width(d)
-    (= 128 for every d < 128, so segments stay lane-aligned)."""
+    (= 128 for every d < 128, so segments stay lane-aligned).
+
+    want_lse: also emit natural-log logsumexp as (1, 1, bq, hpd) blocks of a
+    (B, HP, N, hpd) array — the packed backward kernels read the same
+    layout, so training never leaves the packed world either."""
     kv = pl.program_id(3)
+    if want_lse:
+        lse_ref, m_scr, acc_scr = refs
+    else:
+        m_scr, acc_scr = refs
 
     @pl.when(kv == 0)
     def _init():
@@ -769,17 +778,25 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, *,
     @pl.when(kv == kv_steps - 1)
     def _finish():
         outs = []
+        lses = []
         for h in range(hpd):
             a = acc_scr[:, h * aw:(h + 1) * aw]
             outs.append((a[:, :d] / a[:, d:d + 1]).astype(o_ref.dtype))
+            if want_lse:
+                lses.append((m_scr[:, h * 128:h * 128 + 1]
+                             + jnp.log2(a[:, d:d + 1])) * LN2)
         o_ref[0] = jnp.concatenate(outs, axis=-1)
+        if want_lse:
+            lse_ref[0, 0] = jnp.concatenate(lses, axis=-1)
 
 
-def _flash_forward_packed(q, k, v, scale, bq, bk, d, split=None):
+def _flash_forward_packed(q, k, v, scale, bq, bk, d, split=None,
+                          want_lse=False):
     """Forward over packed (B, N, C) q/k/v (heads along lanes); (B, N, C) out.
 
-    Inference/primal only (no lse output — the vjp fwd runs the BHSD kernel,
-    whose transposes the train step always paid)."""
+    want_lse=False is the inference/primal path; with want_lse the kernel
+    also returns natural-log lse as (B, HP, N, hpd) fp32 for the packed
+    backward kernels."""
     B, N, C = q.shape
     Skv = k.shape[1]
     if split is None:
@@ -788,13 +805,20 @@ def _flash_forward_packed(q, k, v, scale, bq, bk, d, split=None):
     q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
     q_spec = pl.BlockSpec((1, bq, 128), lambda b, hp, qi, ki: (b, qi, hp))
     kv_spec = pl.BlockSpec((1, bk, 128), lambda b, hp, qi, ki: (b, ki, hp))
-    return pl.pallas_call(
+    out_specs = [q_spec]
+    out_shape = [jax.ShapeDtypeStruct((B, N, C), q.dtype)]
+    if want_lse:
+        out_specs.append(pl.BlockSpec(
+            (1, 1, bq, hpd), lambda b, hp, qi, ki: (b, hp, qi, 0)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, C // 128, N, hpd), jnp.float32))
+    outs = pl.pallas_call(
         functools.partial(_fwd_kernel_packed, kv_steps=Skv // bk, d=d,
-                          hpd=hpd, split=split),
+                          hpd=hpd, split=split, want_lse=want_lse),
         grid=(B, C // 128, N // bq, Skv // bk),
         in_specs=[q_spec, kv_spec, kv_spec],
-        out_specs=q_spec,
-        out_shape=jax.ShapeDtypeStruct((B, N, C), q.dtype),
+        out_specs=out_specs if want_lse else q_spec,
+        out_shape=out_shape if want_lse else out_shape[0],
         scratch_shapes=[
             pltpu.VMEM((bq, hpd * 128), jnp.float32),
             pltpu.VMEM((bq, hpd * (d + _ones_width(d))), jnp.float32),
@@ -806,6 +830,7 @@ def _flash_forward_packed(q, k, v, scale, bq, bk, d, split=None):
         ),
         interpret=_interpret(),
     )(q, k, v)
+    return outs if want_lse else (outs, None)
 
 
 def _to_bhsd(t, d):
@@ -818,32 +843,171 @@ def _to_packed(t):
     return jnp.swapaxes(t, 1, 2).reshape(B, S, H * D)
 
 
+def _bwd_dq_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dq_ref, dq_scr, *, scale: float, kv_steps: int,
+                          d: int, hpd: int):
+    """Packed-layout mirror of _bwd_dq_kernel: one program per (q block,
+    128-lane head group), per-head 64-offset lane slices, dq assembled back
+    into the (B, N, C) layout.  q arrives pre-scaled by scale*log2(e); the
+    per-tile ds*scale multiply is deferred to the output write."""
+    kv = pl.program_id(3)
+
+    @pl.when(kv == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    qp = q_ref[0]
+    dop = do_ref[0]
+    for h in range(hpd):
+        q = qp[:, h * d:(h + 1) * d]
+        k = k_ref[0, :, h * d:(h + 1) * d]
+        v = v_ref[0, :, h * d:(h + 1) * d]
+        do = dop[:, h * d:(h + 1) * d]
+        lse = lse_ref[0, 0, :, h:h + 1]      # (bq, 1), natural log
+        delta = delta_ref[0, 0, :, h:h + 1]  # (bq, 1)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # log2 domain
+        p = jnp.exp2(s - lse * LOG2E)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds0 = p * (dp - delta)
+        dq_scr[:, h * d:(h + 1) * d] += jax.lax.dot_general(
+            ds0.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(kv == kv_steps - 1)
+    def _finish():
+        dq_ref[0] = (dq_scr[:] * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                           dk_ref, dv_ref, dk_scr, dv_scr,
+                           *, scale: float, q_steps: int, d: int, hpd: int):
+    """Packed-layout mirror of _bwd_dkv_kernel (see _bwd_dq_kernel_packed)."""
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    qp = q_ref[0]
+    dop = do_ref[0]
+    for h in range(hpd):
+        q = qp[:, h * d:(h + 1) * d]
+        k = k_ref[0, :, h * d:(h + 1) * d]
+        v = v_ref[0, :, h * d:(h + 1) * d]
+        do = dop[:, h * d:(h + 1) * d]
+        lse = lse_ref[0, 0, :, h:h + 1]
+        delta = delta_ref[0, 0, :, h:h + 1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # log2 domain
+        p = jnp.exp2(s - lse * LOG2E)
+        dv_scr[:, h * d:(h + 1) * d] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds0 = p * (dp - delta)  # true ds = scale * ds0
+        dk_scr[:, h * d:(h + 1) * d] += jax.lax.dot_general(
+            ds0.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(qi == q_steps - 1)
+    def _finish():
+        dk_ref[0] = (dk_scr[:] * LN2).astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_backward_packed(q, k, v, o, lse, do, scale, bq, bk, d):
+    """Backward over packed (B, N, C) tensors; lse is (B, HP, N, hpd) from
+    the packed forward.  Same recurrences and precision contract as
+    _flash_backward (fp32 p recomputed from the bf16-accumulated lse)."""
+    B, N, C = q.shape
+    Skv = k.shape[1]
+    hpd = 128 // d
+    hp = C // 128
+    # delta = rowsum(do * o) per head, laid out (B, HP, N, hpd) like lse
+    delta = jnp.sum(
+        (do.astype(jnp.float32) * o.astype(jnp.float32))
+        .reshape(B, N, hp, hpd, d), axis=-1).transpose(0, 2, 1, 3)
+    q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+
+    q_spec = pl.BlockSpec((1, bq, 128), lambda b, h, qi, ki: (b, qi, h))
+    kv_spec = pl.BlockSpec((1, bk, 128), lambda b, h, qi, ki: (b, ki, h))
+    row_spec = pl.BlockSpec((1, 1, bq, hpd), lambda b, h, qi, ki: (b, h, qi, 0))
+    qr_spec = pl.BlockSpec((1, bq, 128), lambda b, h, ki, qi: (b, qi, h))
+    kvr_spec = pl.BlockSpec((1, bk, 128), lambda b, h, ki, qi: (b, ki, h))
+    rowr_spec = pl.BlockSpec((1, 1, bq, hpd),
+                             lambda b, h, ki, qi: (b, h, qi, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel_packed, scale=scale,
+                          kv_steps=Skv // bk, d=d, hpd=hpd),
+        grid=(B, C // 128, N // bq, Skv // bk),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((B, N, C), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(q, k, v, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel_packed, scale=scale,
+                          q_steps=N // bq, d=d, hpd=hpd),
+        grid=(B, C // 128, Skv // bk, N // bq),
+        in_specs=[qr_spec, kvr_spec, kvr_spec, qr_spec, rowr_spec, rowr_spec],
+        out_specs=[kvr_spec, kvr_spec],
+        out_shape=[jax.ShapeDtypeStruct((B, Skv, C), k.dtype),
+                   jax.ShapeDtypeStruct((B, Skv, C), v.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((bk, 128), jnp.float32),
+            pltpu.VMEM((bk, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _flash_packed(q, k, v, scale, d):
     B, N, C = q.shape
     bq = _pick_block(N, MAX_BLOCK_Q)
     bk = _pick_block(k.shape[1], MAX_BLOCK_KV_PACKED)
-    return _flash_forward_packed(q, k, v, scale, bq, bk, d)
+    o, _ = _flash_forward_packed(q, k, v, scale, bq, bk, d)
+    return o
 
 
 def _flash_packed_fwd(q, k, v, scale, d):
-    # grad path = the BHSD road verbatim (transposes included): training
-    # cost is unchanged and the saved residuals/lse feed the existing
-    # backward kernels.  Packed backward kernels are a future lever.
-    qt, kt, vt = _to_bhsd(q, d), _to_bhsd(k, d), _to_bhsd(v, d)
-    bq = _pick_block(qt.shape[2], MAX_BLOCK_Q)
-    bk = _pick_block(kt.shape[2], MAX_BLOCK_KV)
-    o, lse = _flash_forward(qt, kt, vt, scale, bq, bk)
-    return _to_packed(o), (qt, kt, vt, o, lse)
+    # training stays in the packed world end to end (r5): the lse-emitting
+    # packed forward + packed backward kernels — no BHSD transposes anywhere
+    bq = _pick_block(q.shape[1], MAX_BLOCK_Q)
+    bk = _pick_block(k.shape[1], MAX_BLOCK_KV_PACKED)
+    o, lse = _flash_forward_packed(q, k, v, scale, bq, bk, d, want_lse=True)
+    return o, (q, k, v, o, lse)
 
 
 def _flash_packed_bwd(scale, d, res, do):
-    qt, kt, vt, o, lse = res
-    bq = _pick_block(qt.shape[2], MAX_BLOCK_Q_BWD)
-    bk = _pick_block(kt.shape[2], MAX_BLOCK_KV_BWD)
-    dq, dk, dv = _flash_backward(qt, kt, vt, o, lse, _to_bhsd(do, d),
-                                 scale, bq, bk)
-    return _to_packed(dq), _to_packed(dk), _to_packed(dv)
+    q, k, v, o, lse = res
+    bq = _pick_block(q.shape[1], MAX_BLOCK_Q_BWD)
+    bk = _pick_block(k.shape[1], MAX_BLOCK_KV_BWD)
+    return _flash_backward_packed(q, k, v, o, lse, do, scale, bq, bk, d)
 
 
 _flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)

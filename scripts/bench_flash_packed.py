@@ -96,7 +96,7 @@ def main():
 
             def run(q, k, v, bq=bq, bk=bk, split=split):
                 return _flash_forward_packed(q, k, v, scale, bq, bk, D,
-                                             split=split)
+                                             split=split)[0]
 
             try:
                 ms = timed(run, (qp, kp, vp), args.iters) * 1e3
