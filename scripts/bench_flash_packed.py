@@ -49,10 +49,15 @@ def timed(fn, args, iters, repeats=3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seq", type=int, default=15360)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="independent attention instances (e.g. 20 for the "
+                         "per-view encoder shape --seq 768 --batch 20)")
     ap.add_argument("--heads", type=int, default=16)
     ap.add_argument("--head-dim", type=int, default=64)
     ap.add_argument("--iters", type=int, default=32)
-    ap.add_argument("--probes", default="packed,bhsd_road,bhsd_raw")
+    ap.add_argument("--probes", default="packed,bhsd_road,bhsd_raw",
+                    help="also: fusedqkv (the encoder road's single-kernel "
+                         "qkv attention, ops/batched_attention.py)")
     ap.add_argument("--sweep", default="",
                     help="comma list of bqxbk@split packed-kernel configs to "
                          "time instead of the default probes")
@@ -66,23 +71,24 @@ def main():
         _flash_packed, _pick_block)
 
     S, H, D = args.seq, args.heads, args.head_dim
+    B = args.batch
     C = H * D
     scale = D ** -0.5
-    tflop = 4 * S * S * D * H / 1e12
+    tflop = 4 * B * S * S * D * H / 1e12
     rng = np.random.default_rng(0)
-    qp = jnp.asarray(rng.standard_normal((1, S, C)), jnp.bfloat16)
-    kp = jnp.asarray(rng.standard_normal((1, S, C)), jnp.bfloat16)
-    vp = jnp.asarray(rng.standard_normal((1, S, C)), jnp.bfloat16)
+    qp = jnp.asarray(rng.standard_normal((B, S, C)), jnp.bfloat16)
+    kp = jnp.asarray(rng.standard_normal((B, S, C)), jnp.bfloat16)
+    vp = jnp.asarray(rng.standard_normal((B, S, C)), jnp.bfloat16)
 
     def packed(q, k, v):
         return _flash_packed(q, k, v, scale, D)
 
     def bhsd_road(q, k, v):
-        qt = jnp.swapaxes(q.reshape(1, S, H, D), 1, 2)
-        kt = jnp.swapaxes(k.reshape(1, S, H, D), 1, 2)
-        vt = jnp.swapaxes(v.reshape(1, S, H, D), 1, 2)
+        qt = jnp.swapaxes(q.reshape(B, S, H, D), 1, 2)
+        kt = jnp.swapaxes(k.reshape(B, S, H, D), 1, 2)
+        vt = jnp.swapaxes(v.reshape(B, S, H, D), 1, 2)
         o = _flash_bhsd(qt, kt, vt, scale)
-        return jnp.swapaxes(o, 1, 2).reshape(1, S, C)
+        return jnp.swapaxes(o, 1, 2).reshape(B, S, C)
 
     def bhsd_raw(qt, kt, vt):
         return _flash_bhsd(qt, kt, vt, scale)
@@ -122,10 +128,17 @@ def main():
         elif probe == "bhsd_road":
             ms = timed(bhsd_road, (qp, kp, vp), args.iters) * 1e3
         elif probe == "bhsd_raw":
-            qt = jnp.swapaxes(qp.reshape(1, S, H, D), 1, 2)
-            kt = jnp.swapaxes(kp.reshape(1, S, H, D), 1, 2)
-            vt = jnp.swapaxes(vp.reshape(1, S, H, D), 1, 2)
+            qt = jnp.swapaxes(qp.reshape(B, S, H, D), 1, 2)
+            kt = jnp.swapaxes(kp.reshape(B, S, H, D), 1, 2)
+            vt = jnp.swapaxes(vp.reshape(B, S, H, D), 1, 2)
             ms = timed(bhsd_raw, (qt, kt, vt), args.iters) * 1e3
+        elif probe == "fusedqkv":
+            from fast3r_tpu.ops.batched_attention import packed_qkv_attention
+            qkv3 = jnp.stack([qp, kp, vp])
+
+            def fq(qkv3):
+                return packed_qkv_attention(qkv3, H, scale)
+            ms = timed(fq, (qkv3,), args.iters) * 1e3
         else:
             continue
         results[probe] = {"ms": round(ms, 3),
