@@ -74,11 +74,18 @@ def _cparams():
 def _erf(x):
     """fp32 erf for the in-kernel exact GELU — Mosaic has no erf/erfc
     lowering (NotImplementedError: erfc).  Abramowitz & Stegun 7.1.26
-    (max abs error 1.5e-7, far below the bf16 output ulp and the fp32
-    golden-test tolerances)."""
+    (max abs error 1.5e-7 with an exact division), with the t-substitution
+    division replaced by the VPU's approximate reciprocal + one Newton step
+    (_recip_fast, r5): dt/t ~1.5e-5 -> d(erf) <~ 1.5e-5 * exp(-z^2), still
+    far below the bf16 output ulp and the fp32 golden-test tolerances.  The
+    exact division stalled the VPU enough that GELU cost 0.115 ms per fc1
+    row-pass on top of the matmul; with the fast reciprocal the whole
+    activation hides under the MXU (scripts/bench_fused_linears.py r5
+    ladder: act=gelu 1.079 ms / gelu_recip 0.877 / act=none 0.964 at the
+    (15360, 1024, 4096) fc1 shape, bm=512)."""
     sign = jnp.sign(x)
     z = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * z)
+    t = _recip_fast(1.0 + 0.3275911 * z)
     poly = t * (0.254829592 + t * (-0.284496736 + t * (
         1.421413741 + t * (-1.453152027 + t * 1.061405429))))
     return sign * (1.0 - poly * jnp.exp(-z * z))
@@ -87,6 +94,75 @@ def _erf(x):
 def _gelu_exact(x):
     """x * Phi(x) with the erf formulation (torch nn.GELU default)."""
     return x * 0.5 * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def _recip_fast(a):
+    """fp32 reciprocal via the VPU's approximate-reciprocal + one Newton
+    step (r * (2 - a*r)): relative error ~(2^-8)^2 = 1.5e-5, vs the exact
+    division's multi-op lowering.  Pallas-only (pl.reciprocal); interpret
+    mode (CPU tests) keeps the exact division — reciprocal_p has no
+    jit/grad-context eval rule in this jax version, and the CPU goldens
+    should exercise exact math anyway (TPU parity covered on hardware)."""
+    if _interpret():
+        return 1.0 / a
+    r = pl.reciprocal(a, approx=True)
+    return r * (2.0 - a * r)
+
+
+# Power-basis coefficients of the degree-7 Chebyshev fit of
+# q(z) = log(0.5 * erfc(z)) on z in [0, 5.9] (max |dq| = 1.0e-4, i.e. the
+# RELATIVE error of exp(q) — 1/40 of a bf16 ulp; fit recipe in the r5 dev
+# notes).  The -z^2 tail behaviour is inside the polynomial, so one exp and
+# no division reproduces erfc's exponentially small tail to bf16 exactness.
+_LOGW_COEFS = (
+    -0.6932386656382212, -1.12740659844404, -0.6387020988562326,
+    -0.10218836353356493, 0.021548640532825746, -0.0030444244221412304,
+    0.00025187827124418345, -9.118356423410375e-06,
+)
+
+
+def _gelu_logw(x):
+    """Exact-class GELU with ONE transcendental and NO division:
+    0.5*erfc(z) = exp(poly(z)); gelu = x * (x>0 ? 1-c : c).  Max relative
+    error vs the erf formulation 9.1e-5 (fp32-validated over [-16, 16]) —
+    well inside the bf16 output rounding the fused kernels already carry."""
+    z = jnp.minimum(jnp.abs(x) * 0.7071067811865476, 5.9)
+    q = jnp.float32(_LOGW_COEFS[-1])
+    for c in _LOGW_COEFS[-2::-1]:
+        q = q * z + jnp.float32(c)
+    c = jnp.exp(q)
+    return x * jnp.where(x > 0, 1.0 - c, c)
+
+
+def _gelu_div(x):
+    """The pre-r5 GELU with an EXACT division in the A&S t-substitution —
+    kept as the A/B reference probe for scripts/bench_fused_linears.py
+    (the division stalls the VPU: 1.079 vs 0.877 ms at the fc1 shape)."""
+    xs = x * 0.7071067811865476
+    sign = jnp.sign(xs)
+    z = jnp.abs(xs)
+    t = 1.0 / (1.0 + 0.3275911 * z)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    e = sign * (1.0 - poly * jnp.exp(-z * z))
+    return x * 0.5 * (1.0 + e)
+
+
+def _gelu_sig(x):
+    """Logistic-fit GELU floor probe (x * sigmoid(1.5976x + 0.07056x^3),
+    max abs err 3.8e-4 — NOT reference-exact in the negative tail; used
+    only to measure the VPU-cost floor of the activation, never shipped."""
+    t = x * (1.5976 + 0.07056 * x * x)
+    return x * _recip_fast(1.0 + jnp.exp(-t))
+
+
+_GELU_VARIANTS = {
+    "gelu": _gelu_exact,       # shipped: A&S erf with _recip_fast (r5)
+    "gelu_div": _gelu_div,     # pre-r5 exact-division A/B reference
+    "gelu_logw": _gelu_logw,
+    "gelu_recip": _gelu_exact,  # alias — "gelu" IS the recip variant now
+    "gelu_sig": _gelu_sig,
+}
 
 
 _INV_SQRT_2PI = 0.3989422804014327
@@ -177,8 +253,8 @@ def _ln_matmul_kernel(x_ref, g_ref, b_ref, w_ref, bias_ref, o_ref,
         y, w_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bias_ref[:].astype(jnp.float32)
-    if act == "gelu":
-        out = _gelu_exact(out)
+    if act is not None:
+        out = _GELU_VARIANTS[act](out)
     o_ref[:] = out.astype(o_ref.dtype)
 
 

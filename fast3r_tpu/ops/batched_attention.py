@@ -52,7 +52,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fast3r_tpu.ops.flash_attention import LN2, LOG2E, _interpret
+from fast3r_tpu.ops.flash_attention import (
+    LN2, LOG2E, _interpret, _softmax_normalize)
 
 NSLOTS = 2
 NSLOTS_PACKED = 4  # deeper ring for the packed kernel: at NSLOTS=2 the
@@ -181,9 +182,10 @@ def _batched_kernel(q_hbm, k_hbm, v_hbm, o_hbm,
             for m_j, acc_j in parts[1:]:
                 acc = acc + acc_j * jnp.exp2(m_j - m)
 
-            # divide ALL lanes by l (pad lanes become 1.0; wrapper slices
-            # [:d])
-            o_vmem[slot, gi] = (acc / acc[:, d:d + 1]).astype(o_vmem.dtype)
+            # normalize ALL lanes by l (fast reciprocal for bf16 outputs;
+            # pad lanes become 1.0; wrapper slices [:d])
+            o_vmem[slot, gi] = _softmax_normalize(
+                acc, acc[:, d:d + 1], o_vmem.dtype)
         out_dma(slot, u).start()
         return 0
 
@@ -433,8 +435,8 @@ def _packed_compute_slot(qkv_vmem, o_vmem, vext_vmem, slot, g, n, d, scale):
         for m_j, acc_j in parts[1:]:
             acc = acc + acc_j * jnp.exp2(m_j - m)
 
-        o_vmem[slot, :, gi * d:(gi + 1) * d] = (
-            acc[:, :d] / acc[:, d:d + 1]).astype(o_vmem.dtype)
+        o_vmem[slot, :, gi * d:(gi + 1) * d] = _softmax_normalize(
+            acc[:, :d], acc[:, d:d + 1], o_vmem.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

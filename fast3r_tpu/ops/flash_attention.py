@@ -87,6 +87,33 @@ def _pick_split(bk: int, max_sub: int = None) -> int:
     return split
 
 
+def _recip_fast(a):
+    """fp32 reciprocal via the VPU's approximate-reciprocal + one Newton
+    step: relative error ~(2^-8)^2 = 1.5e-5, below the bf16 output rounding.
+    The exact fp32 division stalls the VPU (r5 measurement on the fused-
+    linear GELU: 1.079 -> 0.877 ms per fc1 row pass, nn/fused_block.py);
+    the softmax normalizations here are the same pattern.
+
+    Interpret mode (CPU tests) uses the exact division: reciprocal_p has no
+    jit/grad-context eval rule in this jax version, and the CPU goldens
+    should exercise exact math anyway (the TPU lowering's 1.5e-5 is covered
+    by the hardware parity runs, BENCHMARKS.md)."""
+    if _interpret():
+        return 1.0 / a
+    r = pl.reciprocal(a, approx=True)
+    return r * (2.0 - a * r)
+
+
+def _softmax_normalize(acc, l, out_dtype):
+    """acc / l at the precision the OUTPUT dtype deserves: bf16 outputs ride
+    the fast reciprocal (1.5e-5 ≪ the bf16 rounding they're about to get);
+    fp32 outputs keep the exact division (the repo's fp32-inputs-get-fp32-
+    math parity convention, cf. RoPE2D)."""
+    if jnp.dtype(out_dtype) == jnp.bfloat16:
+        return (acc * _recip_fast(l)).astype(out_dtype)
+    return (acc / l).astype(out_dtype)
+
+
 def _interpret() -> bool:
     """Run the kernels in interpreter mode off-TPU (tests on CPU)."""
     return jax.default_backend() != "tpu"
@@ -239,7 +266,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
     @pl.when(kv == kv_steps - 1)
     def _finish():
         l = acc_scr[:, d:d + 1]
-        o = (acc_scr[:, :d] / l).astype(o_ref.dtype)
+        o = _softmax_normalize(acc_scr[:, :d], l, o_ref.dtype)
         if bnhd:
             o_ref[0, :, 0] = o
         else:
@@ -286,7 +313,7 @@ def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
             preferred_element_type=jnp.float32,
         )
         l = acc[:, d:d + 1]
-        o_ref[bi, hj] = (acc[:, :d] / l).astype(o_ref.dtype)
+        o_ref[bi, hj] = _softmax_normalize(acc[:, :d], l, o_ref.dtype)
         if want_lse:
             refs[0][bi, hj] = (m + jnp.log2(l)) * LN2
         return 0
@@ -781,7 +808,8 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, *refs,
         lses = []
         for h in range(hpd):
             a = acc_scr[:, h * aw:(h + 1) * aw]
-            outs.append((a[:, :d] / a[:, d:d + 1]).astype(o_ref.dtype))
+            outs.append(
+                _softmax_normalize(a[:, :d], a[:, d:d + 1], o_ref.dtype))
             if want_lse:
                 lses.append((m_scr[:, h * 128:h * 128 + 1]
                              + jnp.log2(a[:, d:d + 1])) * LN2)

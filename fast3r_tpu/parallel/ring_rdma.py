@@ -90,6 +90,7 @@ from fast3r_tpu.ops.flash_attention import (
     _interpret,
     _ones_width,
     _pick_block,
+    _softmax_normalize,
 )
 
 MAX_BLOCK_Q = 512
@@ -287,7 +288,7 @@ def _ring_fwd_kernel(q_ref, k_ref, v_ref,
     @pl.when(s == n - 1)
     def _finish():
         l = acc_fin[:, d:d + 1]  # first ones lane
-        o_ref[0] = (acc_fin[:, :d] / l).astype(o_ref.dtype)
+        o_ref[0] = _softmax_normalize(acc_fin[:, :d], l, o_ref.dtype)
         lse_ref[0] = (m_fin[:, :1] + jnp.log2(l)) * LN2  # natural-log
 
     # ---- slot release / send drain (cell (s, last, last)) -------------

@@ -61,7 +61,8 @@ def main():
     ap.add_argument("--shape", default="fc1")
     ap.add_argument("--bms", default="128,256,512")
     ap.add_argument("--vmem", type=int, default=100)
-    ap.add_argument("--act", default="gelu")
+    ap.add_argument("--act", default="gelu",
+                    help="comma list: none,gelu,gelu_logw,gelu_recip,gelu_sig")
     ap.add_argument("--xla", action="store_true", help="also time LN+matmul in XLA")
     args = ap.parse_args()
 
@@ -78,30 +79,33 @@ def main():
     beta = jnp.zeros((k,), jnp.bfloat16)
     bias = jnp.zeros((n,), jnp.bfloat16)
     tflop = 2.0 * m * k * n / 1e12
-    act = None if args.act == "none" else args.act
 
-    if args.xla:
-        def xla_ln_mm(x_, w_, g_, b_, bb_):
-            y = fb._ln_f32(x_, g_, b_, 1e-6).astype(x_.dtype)
-            out = (y @ w_).astype(jnp.float32) + bb_.astype(jnp.float32)
-            if act == "gelu":
-                out = jax.nn.gelu(out, approximate=False)
-            return out.astype(x_.dtype)
+    for act_name in args.act.split(","):
+        act = None if act_name == "none" else act_name
 
-        t = timed(xla_ln_mm, x, w, gamma, beta, bias)
-        print(f"xla_ln_mm      {t*1e3:8.3f} ms  {tflop/t:6.1f} TFLOP/s", flush=True)
+        if args.xla:
+            def xla_ln_mm(x_, w_, g_, b_, bb_):
+                y = fb._ln_f32(x_, g_, b_, 1e-6).astype(x_.dtype)
+                out = (y @ w_).astype(jnp.float32) + bb_.astype(jnp.float32)
+                if act == "gelu":
+                    out = jax.nn.gelu(out, approximate=False)
+                return out.astype(x_.dtype)
 
-    for bm in (int(b) for b in args.bms.split(",")):
-        if m % bm:
-            continue
+            t = timed(xla_ln_mm, x, w, gamma, beta, bias)
+            print(f"xla_ln_mm      {t*1e3:8.3f} ms  {tflop/t:6.1f} TFLOP/s",
+                  flush=True)
 
-        def fn(x_, g_, b_, w_, bb_, _bm=bm):
-            return fb._ln_matmul_call(x_, g_, b_, w_, bb_, 1e-6, act, _bm,
-                                      vmem_limit_mb=args.vmem)
+        for bm in (int(b) for b in args.bms.split(",")):
+            if m % bm:
+                continue
 
-        t = timed(fn, x, gamma, beta, w, bias)
-        print(f"ln_matmul bm={bm:4d} {t*1e3:8.3f} ms  {tflop/t:6.1f} TFLOP/s",
-              flush=True)
+            def fn(x_, g_, b_, w_, bb_, _bm=bm, _act=act):
+                return fb._ln_matmul_call(x_, g_, b_, w_, bb_, 1e-6, _act,
+                                          _bm, vmem_limit_mb=args.vmem)
+
+            t = timed(fn, x, gamma, beta, w, bias)
+            print(f"ln_matmul act={act_name:10s} bm={bm:4d} {t*1e3:8.3f} ms  "
+                  f"{tflop/t:6.1f} TFLOP/s", flush=True)
 
 
 if __name__ == "__main__":
