@@ -169,10 +169,11 @@ _INV_SQRT_2PI = 0.3989422804014327
 
 
 def _gelu_grad(z):
-    """d/dz [z * Phi(z)] = Phi(z) + z * phi(z), fp32 in-kernel (matches
-    jax.nn.gelu(approximate=False) gradients to the _erf approximation's
-    1.5e-7)."""
-    cdf = 0.5 * (1.0 + _erf(z * 0.7071067811865476))
+    """d/dz [z * Phi(z)] = Phi(z) + z * phi(z).  This runs in the PURE-XLA
+    backward (_ln_backward_xla), never inside a pallas kernel, so it uses
+    XLA's native erf (exact — and pl.reciprocal, which _erf now rides,
+    has no lowering outside Mosaic)."""
+    cdf = 0.5 * (1.0 + jax.lax.erf(z * 0.7071067811865476))
     pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * z * z)
     return cdf + z * pdf
 
