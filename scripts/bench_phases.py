@@ -114,6 +114,43 @@ def main():
         out["heads"] = timed(heads, params, *hooks)
         print("heads", round(out["heads"], 4), flush=True)
 
+    if "heads_conf" in probes or "heads_nopost" in probes:
+        # same chunked dual-head loop, but (a) consuming only conf (what
+        # bench.py's checksum DCEs the pts3d exp-map down to) or (b) with
+        # postprocess stubbed out entirely (isolates the fp32 exp-map +
+        # 1+exp share of the heads phase)
+        cv = args.head_chunk
+        hooks2 = [jnp.asarray(rng.standard_normal((1, S, 1024)) * 0.4,
+                              jnp.bfloat16) for _ in range(4)]
+
+        def make_heads(key):
+            def run(p, h0, h1, h2, h3):
+                hs = [h0, h1, h2, h3]
+                acc = jnp.float32(0.0)
+                for start in range(0, V, cv):
+                    toks = [t[0, start * P:(start + cv) * P].reshape(cv, P, -1)
+                            for t in hs]
+                    for head in ("head_global", "head_local"):
+                        o = dpt_head_forward(p[head], cfg.head, toks, (H, W))
+                        acc += o[key].astype(jnp.float32).sum()
+                return acc
+            return run
+
+        if "heads_conf" in probes:
+            out["heads_conf"] = timed(make_heads("conf"), params, *hooks2)
+            print("heads_conf", round(out["heads_conf"], 4), flush=True)
+
+        if "heads_nopost" in probes:
+            from fast3r_tpu.models import dpt_head as dh
+            orig = dh.postprocess
+            dh.postprocess = lambda x, dm, cm: {"raw": x}
+            try:
+                out["heads_nopost"] = timed(make_heads("raw"), params,
+                                            *hooks2)
+            finally:
+                dh.postprocess = orig
+            print("heads_nopost", round(out["heads_nopost"], 4), flush=True)
+
     if "forward" in probes:
         def fwd(p, x):
             o = fast3r_forward(p, cfg, x, head_chunk_views=args.head_chunk)
