@@ -165,6 +165,15 @@ _GELU_VARIANTS = {
 }
 
 
+def _silu(z, out_dtype):
+    """z * sigmoid(z) at the precision the output dtype deserves: bf16
+    outputs ride the fast reciprocal (same pattern as the GELU above);
+    fp32 outputs keep the exact sigmoid."""
+    if jnp.dtype(out_dtype) == jnp.bfloat16:
+        return z * _recip_fast(1.0 + jnp.exp(-z))
+    return z * jax.nn.sigmoid(z)
+
+
 _INV_SQRT_2PI = 0.3989422804014327
 
 
@@ -279,7 +288,7 @@ def _rms_matmul_kernel(x_ref, g_ref, w_ref, o_ref, *, eps: float,
         preferred_element_type=jnp.float32,
     )
     if act == "silu":
-        out = out * jax.nn.sigmoid(out)
+        out = _silu(out, o_ref.dtype)
     o_ref[:] = out.astype(o_ref.dtype)
 
 
@@ -714,7 +723,7 @@ def _rms_matmul_replay_kernel(x_ref, g_ref, w_ref,
         preferred_element_type=jnp.float32)
     if act == "silu":
         refs[0][:] = z.astype(refs[0].dtype)
-        out = z * jax.nn.sigmoid(z)
+        out = _silu(z, o_ref.dtype)
     else:
         out = z
     o_ref[:] = out.astype(o_ref.dtype)

@@ -155,6 +155,30 @@ def main():
         y = conv2d(hp["conv3"], y, padding="VALID")
         return y.astype(jnp.float32).sum()
 
+    def regression_head(x, p):
+        # the SHIPPED road: conv3 folded into the kernel + the swapaxes/bias
+        # layout-restore epilogue (fused_regression_head)
+        from fast3r_tpu.ops.trunk_kernel import fused_regression_head
+
+        hp = p["head"]
+        y = fused_regression_head(
+            x, hp["conv1"]["w"], hp["conv1"]["b"],
+            hp["conv2"]["w"], hp["conv2"]["b"],
+            hp["conv3"]["w"], hp["conv3"]["b"], H, W)
+        return y.astype(jnp.float32).sum()
+
+    def regression_head_raw(x, p):
+        # kernel only, conv3 folded, NO epilogue (consumes the transposed
+        # (B, OUT3, H*W) map directly) — regression_head minus this isolates
+        # the swapaxes relayout + bias cost
+        from fast3r_tpu.ops.trunk_kernel import _trunk_call
+
+        hp = p["head"]
+        y = _trunk_call(x, hp["conv1"]["w"], hp["conv1"]["b"],
+                        hp["conv2"]["w"], hp["conv2"]["b"], H, W,
+                        w3=hp["conv3"]["w"])
+        return y.astype(jnp.float32).sum()
+
     # trunk-kernel stage ablations (outputs WRONG by design; timing only):
     # full - trunk_<stage> isolates that stage's cost inside the fused kernel
     for abl in ("noconv1", "now", "noh", "noconv2", "dmaonly"):
@@ -180,6 +204,15 @@ def main():
         results["regression_fused"] = timed(regression_fused, path1_in,
                                             params)
         print("regression_fused", round(results["regression_fused"], 5),
+              flush=True)
+    if "regression_head" in probes:
+        results["regression_head"] = timed(regression_head, path1_in, params)
+        print("regression_head", round(results["regression_head"], 5),
+              flush=True)
+    if "regression_head_raw" in probes:
+        results["regression_head_raw"] = timed(regression_head_raw,
+                                               path1_in, params)
+        print("regression_head_raw", round(results["regression_head_raw"], 5),
               flush=True)
     if "regression_resize" in probes:
         results["regression_resize"] = timed(regression_resize, path1_in, params)
