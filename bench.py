@@ -81,7 +81,12 @@ def main():
         # fast3r.py:68) — unchunked, the head intermediates for 20 views at
         # 512x384 exceed single-chip HBM
         out = fast3r_forward(p, cfg, x, head_chunk_views=cli.head_chunk)
-        return out["conf"].astype(jnp.float32).sum()
+        # consume EVERY output so XLA cannot DCE any part of the pass the
+        # FLOP counter charges for: the earlier conf-only checksum let the
+        # while-loop simplifier prune dead chunk-map outputs — potentially
+        # the whole LOCAL head and the pts3d exp-map postprocess (r5 audit;
+        # the 50.45 TFLOP/pass count includes dual heads)
+        return sum(v.astype(jnp.float32).sum() for v in out.values())
 
     def run_n(p, x, n):
         def body(i, acc):

@@ -80,7 +80,9 @@ def main():
 
     def fwd(p, x):
         out = fast3r_forward(p, cfg, x, head_chunk_views=args.head_chunk)
-        return out["conf"].astype(jnp.float32).sum()
+        # consume every output — a conf-only checksum lets XLA DCE the local
+        # head out of the chunk map (r5 audit, see bench.py)
+        return sum(v.astype(jnp.float32).sum() for v in out.values())
 
     f = jax.jit(fwd)
     t0 = time.perf_counter()

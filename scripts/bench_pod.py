@@ -80,7 +80,9 @@ def main():
                                    ring_impl=args.ring_impl)
 
     def checksum(p, x):
-        return fwd(p, x)["conf"].astype(jnp.float32).sum()
+        # consume every output — conf-only checksums let XLA DCE the local
+        # head (r5 audit, see bench.py)
+        return sum(v.astype(jnp.float32).sum() for v in fwd(p, x).values())
 
     cks = jax.jit(checksum)
     t0 = time.perf_counter()
