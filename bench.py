@@ -56,18 +56,19 @@ def main():
     # 4 is the measured sweet spot (sweep r3: chunk 4 vs 5/10; 20 unchunked
     # exceeds HBM at 512x384); kept as a flag for sweeps
     ap.add_argument("--head-chunk", type=int, default=4)
-    ap.add_argument("--fused-mlp", action="store_true",
-                    help="A/B the whole-MLP kernel (PREFER_FUSED_MLP) — "
-                         "halves MLP HBM traffic; re-probe r5 now that the "
-                         "in-tile GELU rides the fast reciprocal")
+    ap.add_argument("--two-kernel-mlp", action="store_true",
+                    help="A/B flag: disable the whole-MLP kernel (the r5 "
+                         "default) and run the two-kernel ln_matmul + "
+                         "matmul_residual MLP road instead (fused 46.52 vs "
+                         "two-kernel 45.97 img/s under the honest checksum)")
     cli = ap.parse_args()
 
     from fast3r_tpu.models.fast3r import Fast3RConfig, fast3r_forward, init_fast3r
     from fast3r_tpu.utils.flops import fast3r_forward_flops
 
-    if cli.fused_mlp:
+    if cli.two_kernel_mlp:
         from fast3r_tpu.nn import fused_block
-        fused_block.PREFER_FUSED_MLP = True
+        fused_block.PREFER_FUSED_MLP = False
 
     cfg = Fast3RConfig.flagship(attn_impl="pallas")
     params = init_fast3r(jax.random.key(0), cfg)

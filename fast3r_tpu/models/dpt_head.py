@@ -182,20 +182,25 @@ def dpt_head_forward(
         # (ops/trunk_kernel.py): the intermediates (incl. the full-res
         # 128-channel trunk output) never touch HBM and the convs dodge
         # XLA's in-context fusion-boundary relayouts
+        from fast3r_tpu.ops.postprocess import postprocess_transposed
         from fast3r_tpu.ops.trunk_kernel import (
-            fused_regression_head, trunk_kernel_supported)
+            fused_regression_head_t, trunk_kernel_supported)
 
         if (hp["conv1"]["w"].shape[-1] == hp["conv2"]["w"].shape[-1]
                 and trunk_kernel_supported(path1.shape, H, W, path1.dtype,
                                            c1=hp["conv1"]["w"].shape[-1],
                                            c3=hp["conv3"]["w"].shape[-1])):
-            x = fused_regression_head(
+            # keep the kernel's transposed (B, c3, H*W) layout through the
+            # postprocess so the (B, H*W, c3) relayout never happens
+            xt = fused_regression_head_t(
                 path1, hp["conv1"]["w"].astype(path1.dtype),
                 hp["conv1"]["b"].astype(path1.dtype),
                 hp["conv2"]["w"].astype(path1.dtype),
                 hp["conv2"]["b"].astype(path1.dtype),
                 hp["conv3"]["w"].astype(path1.dtype),
                 hp["conv3"]["b"].astype(path1.dtype), H, W)
+            return postprocess_transposed(xt, cfg.depth_mode, cfg.conf_mode,
+                                          H, W)
     if x is None:
         x = conv2d(hp["conv1"], path1, padding=[(1, 1), (1, 1)])
         x = resize_bilinear_align_corners(x, H, W)

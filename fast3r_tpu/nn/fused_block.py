@@ -60,10 +60,15 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-# Opt-in whole-MLP fusion (see _fused_block_impl): slower at the headline
-# shape, but caps the MLP transient at one row tile — set True for
-# memory-bound giant-sequence passes (scripts/bench_1000view.py).
-PREFER_FUSED_MLP = False
+# Whole-MLP fusion (see _fused_block_impl): the (M, hidden) GELU activation
+# never touches HBM and the MLP transient caps at one row tile.  Default ON
+# since r5: with the fast-reciprocal GELU the in-tile fc1 -> fc2 chain now
+# BEATS the two-kernel road at the headline shape (bench.py A/B under the
+# honest all-outputs checksum: fused 46.52 vs two-kernel 45.97 img/s —
+# the r4 measurement that left it off was taken with the exact-division
+# GELU, whose VPU stall serialized the in-tile chain).  Set False to get
+# the two-kernel pipeline back for A/Bs.
+PREFER_FUSED_MLP = True
 
 def _cparams():
     return pltpu.CompilerParams(

@@ -42,6 +42,47 @@ def reg_dense_conf(x: jnp.ndarray, mode=("exp", 1.0, float("inf"))):
     raise ValueError(f"bad conf mode={name!r}")
 
 
+def postprocess_transposed(out: jnp.ndarray, depth_mode, conf_mode,
+                           out_h: int, out_w: int):
+    """postprocess() over a channel-major (B, C, H*W) head map.
+
+    TPU companion to ops/trunk_kernel.py:fused_regression_head_t — the trunk
+    kernel emits channels on sublanes / pixels on lanes, so the norm /
+    expm1 / exp chain here runs lane-major over full pixel rows and only the
+    final 3-channel pts3d swap pays a relayout (the conf plane needs none).
+    Same math and op order as postprocess(); returns the same dict/layouts.
+    """
+    B = out.shape[0]
+    name, vmin, vmax = depth_mode
+    xyz = out[:, 0:3]  # (B, 3, HW)
+    if name == "linear":
+        pts = xyz if (vmin == -float("inf") and vmax == float("inf")) \
+            else jnp.clip(xyz, vmin, vmax)
+    else:
+        d = jnp.linalg.norm(xyz, axis=1, keepdims=True)
+        pts = xyz / jnp.clip(d, 1e-8, None)
+        if name == "square":
+            pts = pts * jnp.square(d)
+        elif name == "exp":
+            pts = pts * jnp.expm1(d)
+        else:
+            raise ValueError(f"bad depth mode={name!r}")
+    res = {"pts3d": jnp.swapaxes(pts, 1, 2).reshape(B, out_h, out_w, 3)}
+    if conf_mode is not None:
+        cname, cvmin, cvmax = conf_mode
+        c = out[:, 3]
+        if cname == "exp":
+            conf = cvmin + jnp.clip(jnp.exp(c), None, cvmax - cvmin)
+        elif cname == "sigmoid":
+            import jax
+
+            conf = (cvmax - cvmin) * jax.nn.sigmoid(c) + cvmin
+        else:
+            raise ValueError(f"bad conf mode={cname!r}")
+        res["conf"] = conf.reshape(B, out_h, out_w)
+    return res
+
+
 def postprocess(out: jnp.ndarray, depth_mode, conf_mode):
     """Split head output channels into pts3d (+ conf).
 

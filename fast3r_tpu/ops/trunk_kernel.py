@@ -491,3 +491,33 @@ def _head_bwd(out_h, out_w, res, g):
 
 
 fused_regression_head.defvjp(_head_fwd, _head_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_regression_head_t(x, w1, b1, w2, b2, w3, b3, out_h, out_w):
+    """fused_regression_head emitting the TRANSPOSED (B, c3, H*W) map — the
+    layout the kernel already produces (channels on sublanes, pixels on
+    lanes).  The postprocess exp-map then runs lane-major over full pixel
+    rows (ops/postprocess.py:postprocess_transposed) and the wrapper's
+    (B, H*W, c3) relayout disappears; only the 3-channel pts3d transpose at
+    the very end remains.  Same gating and numerics as
+    fused_regression_head (the bias add is the identical x.dtype op).
+    """
+    c3 = w3.shape[-1]
+    o = _trunk_call(x, w1, b1, w2, b2, out_h, out_w, w3=w3)
+    return o[:, :c3] + b3.astype(x.dtype)[None, :, None]
+
+
+def _head_t_fwd(x, w1, b1, w2, b2, w3, b3, out_h, out_w):
+    return fused_regression_head_t(x, w1, b1, w2, b2, w3, b3, out_h, out_w), (
+        x, w1, b1, w2, b2, w3, b3)
+
+
+def _head_t_bwd(out_h, out_w, res, g):
+    B, c3, _ = g.shape
+    g_nhwc = jnp.swapaxes(g, 1, 2).reshape(B, out_h, out_w, c3)
+    _, vjp = jax.vjp(lambda *a: _plain_head(*a, out_h, out_w), *res)
+    return vjp(g_nhwc)
+
+
+fused_regression_head_t.defvjp(_head_t_fwd, _head_t_bwd)

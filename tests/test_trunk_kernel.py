@@ -128,3 +128,49 @@ def test_head_gradients_match_plain(head_setup):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-3)
+
+
+def test_head_t_postprocess_matches_plain(head_setup):
+    """Transposed head output + lane-major postprocess (the shipped TPU
+    composition, models/dpt_head.py) vs plain head + standard postprocess."""
+    from fast3r_tpu.ops.postprocess import postprocess, postprocess_transposed
+
+    out_h, out_w = 64, 32
+    depth_mode = ("exp", -float("inf"), float("inf"))
+    conf_mode = ("exp", 1.0, float("inf"))
+    ref = postprocess(tk._plain_head(*head_setup, out_h, out_w),
+                      depth_mode, conf_mode)
+    xt = tk.fused_regression_head_t(*head_setup, out_h, out_w)
+    assert xt.shape == (2, 4, out_h * out_w)
+    out = postprocess_transposed(xt, depth_mode, conf_mode, out_h, out_w)
+    assert set(out) == {"pts3d", "conf"}
+    for k in out:
+        assert out[k].shape == ref[k].shape
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_head_t_gradients_match_plain(head_setup):
+    from fast3r_tpu.ops.postprocess import postprocess, postprocess_transposed
+
+    out_h, out_w = 64, 32
+    depth_mode = ("exp", -float("inf"), float("inf"))
+    conf_mode = ("exp", 1.0, float("inf"))
+
+    def loss_k(*a):
+        r = postprocess_transposed(
+            tk.fused_regression_head_t(*a, out_h, out_w),
+            depth_mode, conf_mode, out_h, out_w)
+        return jnp.sum(jnp.sin(r["pts3d"])) + jnp.sum(jnp.cos(r["conf"]))
+
+    def loss_p(*a):
+        r = postprocess(tk._plain_head(*a, out_h, out_w),
+                        depth_mode, conf_mode)
+        return jnp.sum(jnp.sin(r["pts3d"])) + jnp.sum(jnp.cos(r["conf"]))
+
+    args = head_setup
+    g1 = jax.grad(loss_k, argnums=tuple(range(7)))(*args)
+    g2 = jax.grad(loss_p, argnums=tuple(range(7)))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-3)
